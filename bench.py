@@ -1,0 +1,100 @@
+"""Headline benchmark: DS2 CTC training throughput on one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "utt/s/chip", "vs_baseline": N}
+
+Measures the full jitted train step (on-device log-spectrogram frontend
++ 2 conv + 5 BiGRU-800 + CTC loss + clip/momentum SGD update) on
+synthetic 5-second 16 kHz utterances — the shape profile of the PT-BR
+corpora (BASELINE.json configs 3/5).
+
+Baseline: the reference's GPU throughput was never published and the
+reference mount is empty (SURVEY.md §6); BASELINE.md records the
+documented proxy of 15 utt/s/GPU (2018-era single-GPU DS2 training,
+deepspeech.pytorch family, ~5 s utterances). vs_baseline uses that
+proxy; the north-star target is >= 5x.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_PROXY_UTT_PER_SEC = 15.0  # see BASELINE.md; [L] estimate
+BATCH = 32
+SECONDS = 5.0
+SAMPLE_RATE = 16000
+WARMUP = 2
+ITERS = 10
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from tpuasr.audio.frontend import FrontendConfig
+    from tpuasr.labels import Alphabet
+    from tpuasr.model.ds2 import ModelConfig
+    from tpuasr.train.step import TrainConfig, init_train_state, make_train_step
+
+    alphabet = Alphabet()
+    model_cfg = ModelConfig(n_classes=alphabet.size)
+    frontend_cfg = FrontendConfig()
+    train_cfg = TrainConfig()
+
+    state = init_train_state(model_cfg, train_cfg, jax.random.PRNGKey(0))
+    train_step = make_train_step(model_cfg, frontend_cfg, train_cfg)
+
+    n = int(SECONDS * SAMPLE_RATE)
+    rng = np.random.RandomState(0)
+    waves = jnp.asarray(rng.randn(BATCH, n).astype(np.float32) * 0.1)
+    wave_lengths = jnp.asarray(np.full((BATCH,), n, np.int32))
+    label_len = int(SECONDS * 14)  # ~14 chars/s
+    labels = jnp.asarray(
+        rng.randint(1, alphabet.size, size=(BATCH, label_len)).astype(np.int32)
+    )
+    label_lengths = jnp.asarray(np.full((BATCH,), label_len, np.int32))
+    valid = jnp.ones((BATCH,), bool)
+    lr = jnp.float32(3e-4)
+
+    def one(i):
+        nonlocal state
+        state, metrics = train_step(
+            state, waves, wave_lengths, labels, label_lengths, valid, lr,
+            jax.random.PRNGKey(i),
+        )
+        return metrics
+
+    for i in range(WARMUP):
+        m = one(i)
+    jax.block_until_ready(m["loss"])
+
+    t0 = time.perf_counter()
+    for i in range(ITERS):
+        m = one(WARMUP + i)
+    jax.block_until_ready(m["loss"])
+    dt = time.perf_counter() - t0
+
+    utt_per_sec = BATCH * ITERS / dt
+    rtf = utt_per_sec * SECONDS  # seconds of audio processed per second
+    result = {
+        "metric": "ds2_train_utterances_per_sec_per_chip",
+        "value": round(utt_per_sec, 3),
+        "unit": "utt/s/chip",
+        "vs_baseline": round(utt_per_sec / REFERENCE_PROXY_UTT_PER_SEC, 3),
+        "extra": {
+            "step_ms": round(1e3 * dt / ITERS, 2),
+            "train_rtf": round(rtf, 1),
+            "batch": BATCH,
+            "utt_seconds": SECONDS,
+            "device": str(jax.devices()[0]),
+            "loss": float(m["loss"]),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,113 @@
+"""Manifest / bucketing / loader tests."""
+
+import numpy as np
+import pytest
+
+from tpuasr.audio.io import save_audio
+from tpuasr.data.buckets import BucketSpec, make_buckets
+from tpuasr.data.loader import AudioBatchLoader
+from tpuasr.data.manifest import (
+    ManifestEntry,
+    create_manifest,
+    order_and_prune,
+    read_manifest,
+    write_manifest,
+)
+from tpuasr.labels import Alphabet
+
+
+@pytest.fixture
+def corpus(tmp_path):
+    rng = np.random.RandomState(0)
+    entries = []
+    texts = ["ABC", "DE F", "GHI J", "K"]
+    for i, (text, dur) in enumerate(zip(texts, [0.5, 1.2, 0.8, 2.1])):
+        n = int(16000 * dur)
+        wav = str(tmp_path / f"u{i}.wav")
+        txt = str(tmp_path / f"u{i}.txt")
+        save_audio(wav, rng.randn(n) * 0.1, 16000)
+        open(txt, "w").write(text)
+        entries.append((wav, txt, dur))
+    return tmp_path, entries
+
+
+def test_create_and_read_manifest(corpus):
+    tmp_path, entries = corpus
+    m = str(tmp_path / "man.csv")
+    created = create_manifest(str(tmp_path), m)
+    assert len(created) == 4
+    back = read_manifest(m)
+    assert len(back) == 4
+    # duration-ordered
+    durs = [e.duration for e in back]
+    assert durs == sorted(durs)
+    assert all(abs(e.duration - next(d for w, t, d in entries
+                                     if w == e.wav_path)) < 0.01
+               for e in back)
+
+
+def test_order_and_prune(corpus):
+    tmp_path, entries = corpus
+    m = str(tmp_path / "man.csv")
+    create_manifest(str(tmp_path), m)
+    out = order_and_prune(read_manifest(m), min_duration=0.6, max_duration=1.5)
+    assert len(out) == 2
+    assert all(0.6 <= e.duration <= 1.5 for e in out)
+
+
+def test_sorta_grad_and_shuffle(corpus):
+    tmp_path, entries = corpus
+    m = str(tmp_path / "man.csv")
+    create_manifest(str(tmp_path), m)
+    plan = make_buckets(read_manifest(m), batch_size=2, seed=7)
+    b0 = plan.batches(0)
+    # epoch 0: duration-sorted chunks (SortaGrad)
+    flat = [i for b in b0 for i in b.indices]
+    durs = [plan.entries[i].duration for i in flat]
+    assert durs == sorted(durs)
+    # later epochs: bucketed, shuffled, deterministic per (seed, epoch)
+    b1 = plan.batches(1)
+    b1_again = plan.batches(1)
+    assert [b.indices for b in b1] == [b.indices for b in b1_again]
+    # all entries still covered exactly once
+    flat1 = sorted(i for b in b1 for i in b.indices)
+    assert flat1 == [0, 1, 2, 3]
+
+
+def test_sharded_batches_equal_counts(corpus):
+    tmp_path, entries = corpus
+    m = str(tmp_path / "man.csv")
+    create_manifest(str(tmp_path), m)
+    plan = make_buckets(read_manifest(m), batch_size=1)
+    r0 = plan.sharded_batches(0, 0, 2)
+    r1 = plan.sharded_batches(0, 1, 2)
+    assert len(r0) == len(r1) == 2
+    assert {i for b in r0 + r1 for i in b.indices} == {0, 1, 2, 3}
+
+
+def test_loader_batches(corpus):
+    tmp_path, entries = corpus
+    m = str(tmp_path / "man.csv")
+    create_manifest(str(tmp_path), m)
+    plan = make_buckets(read_manifest(m), batch_size=3)
+    loader = AudioBatchLoader(plan, Alphabet())
+    batches = list(loader.epoch(0))
+    assert len(batches) == 2
+    for b in batches:
+        assert b.waves.shape[0] == 3  # static batch
+        assert b.waves.shape[1] == plan.spec.bucket_samples(b.bucket)
+        assert b.waves.dtype == np.float32
+        assert (b.wave_lengths <= b.waves.shape[1]).all()
+        # labels encoded, zero-padded
+        for j in range(3):
+            ll = b.label_lengths[j]
+            assert (b.labels[j, ll:] == 0).all()
+    # second batch padded with duplicates, masked
+    sizes = sorted(b.size for b in batches)
+    assert sizes == [1, 3]
+
+
+def test_bucket_label_cap():
+    spec = BucketSpec()
+    for i in range(spec.n_buckets):
+        assert spec.bucket_label_cap(i) >= 25 * spec.seconds[i]

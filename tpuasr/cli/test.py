@@ -1,0 +1,89 @@
+"""Batch evaluation over a test manifest.
+
+Reference parity: ref:test.py (SURVEY.md §4.3) — run the model over a
+manifest, decode (greedy or beam+KenLM-style LM fusion), and print the
+aggregate "Test Summary — Average WER / Average CER"; --save-output
+dumps hypotheses/references.
+
+Usage:
+  python -m tpuasr.cli.test --model-path m.ckpt --test-manifest val.csv
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from tpuasr.cli.opts import add_decoder_args, build_decoder
+from tpuasr.data.buckets import BucketSpec, make_buckets
+from tpuasr.data.loader import AudioBatchLoader
+from tpuasr.data.manifest import order_and_prune, read_manifest
+from tpuasr.decode.metrics import ErrorRateMeter
+from tpuasr.train.checkpoint import load_checkpoint
+from tpuasr.train.loop import _device_batch
+from tpuasr.train.step import make_eval_step
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description="tpuasr test (batch eval)")
+    p.add_argument("--model-path", required=True)
+    p.add_argument("--test-manifest", required=True)
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--num-workers", type=int, default=2,
+                   help="host prefetch depth (reference: dataloader workers)")
+    p.add_argument("--save-output", default=None,
+                   help="write per-utterance hyp/ref JSONL here")
+    p.add_argument("--verbose", action="store_true")
+    add_decoder_args(p)
+    args = p.parse_args(argv)
+
+    pkg = load_checkpoint(args.model_path)
+    alphabet = pkg.alphabet
+    variables = {
+        "params": pkg.variables["params"],
+        "batch_stats": pkg.variables["batch_stats"],
+    }
+    eval_step = make_eval_step(pkg.model_config, pkg.frontend_config)
+    decoder = build_decoder(args, alphabet)
+
+    entries = order_and_prune(read_manifest(args.test_manifest))
+    plan = make_buckets(
+        entries, args.batch_size,
+        BucketSpec(sample_rate=pkg.frontend_config.sample_rate),
+        shuffle=False,
+    )
+    loader = AudioBatchLoader(plan, alphabet,
+                              sample_rate=pkg.frontend_config.sample_rate,
+                              prefetch=args.num_workers)
+
+    meter = ErrorRateMeter()
+    out_f = open(args.save_output, "w") if args.save_output else None
+    for batch in loader.epoch(0):
+        waves, wave_lengths, labels, label_lengths, valid = _device_batch(
+            batch, None
+        )
+        logits, out_lengths = eval_step(variables, waves, wave_lengths)
+        hyps = decoder.decode(logits, out_lengths)
+        for j, (hyp, ref) in enumerate(zip(hyps, batch.texts)):
+            if not batch.valid[j]:
+                continue
+            meter.update(hyp, ref)
+            if args.verbose:
+                print(f"Ref: {ref}\nHyp: {hyp}\n")
+            if out_f:
+                out_f.write(json.dumps({"ref": ref, "hyp": hyp},
+                                       ensure_ascii=False) + "\n")
+    if out_f:
+        out_f.close()
+
+    print(
+        f"Test Summary \t"
+        f"Average WER {meter.wer:.3f}\t"
+        f"Average CER {meter.cer:.3f}"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,62 @@
+"""Transcribe one WAV file.
+
+Reference parity: ref:transcribe.py (SURVEY.md §4.2) — load a
+self-describing checkpoint, parse audio with the checkpoint's own
+audio config, forward, decode (greedy or beam+LM), print text and
+optional per-character frame offsets.
+
+Usage:
+  python -m tpuasr.cli.transcribe --model-path m.ckpt --audio-path x.wav
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import jax.numpy as jnp
+import numpy as np
+
+from tpuasr.audio.io import load_audio
+from tpuasr.cli.opts import add_decoder_args, build_decoder
+from tpuasr.model.ds2 import DeepSpeech2
+from tpuasr.train.checkpoint import load_checkpoint
+from tpuasr.train.step import make_eval_step
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description="tpuasr transcribe")
+    p.add_argument("--model-path", required=True)
+    p.add_argument("--audio-path", required=True)
+    p.add_argument("--offsets", action="store_true",
+                   help="print per-character frame offsets")
+    add_decoder_args(p)
+    args = p.parse_args(argv)
+
+    pkg = load_checkpoint(args.model_path)
+    alphabet = pkg.alphabet
+    variables = {
+        "params": pkg.variables["params"],
+        "batch_stats": pkg.variables["batch_stats"],
+    }
+    eval_step = make_eval_step(pkg.model_config, pkg.frontend_config)
+    decoder = build_decoder(args, alphabet)
+
+    wave = load_audio(args.audio_path,
+                      expected_sample_rate=pkg.frontend_config.sample_rate)
+    waves = jnp.asarray(wave[None, :])
+    lengths = jnp.asarray(np.array([len(wave)], np.int32))
+    logits, out_lengths = eval_step(variables, waves, lengths)
+
+    if args.offsets:
+        texts, offsets = decoder.decode(logits, out_lengths, return_offsets=True)
+        print(texts[0])
+        print(" ".join(map(str, offsets[0])))
+    else:
+        texts = decoder.decode(logits, out_lengths)
+        print(texts[0])
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,137 @@
+"""CTC loss as a time-major JAX scan.
+
+TPU-native replacement for the reference's warp-ctc C++/CUDA extension
+(SURVEY.md §3.2: `warpctc_pytorch.CTCLoss` called from ref:train.py).
+Semantics match warp-ctc: the input is UNSOFTMAXED logits; softmax is
+applied internally; the returned loss is the negative log-likelihood
+summed over nothing (per-utterance), so callers can reproduce the
+reference's `loss / batch_size` exactly.
+
+Design:
+  * Log-space alpha (forward) recursion over the extended label
+    sequence [b, l1, b, l2, ..., b], vectorized over (batch, 2L+1)
+    inside a single `lax.scan` over time — the whole batch advances one
+    frame per scan step, all VPU-friendly elementwise ops.
+  * Gradients come from JAX autodiff through the scan (the adjoint of
+    the alpha recursion IS the beta recursion, so this is the textbook
+    forward-backward gradient without hand-writing betas).
+  * Finite "-inf" (LOG_EPS) instead of true -inf so autodiff never
+    produces NaN from (-inf) - (-inf).
+  * Padded frames (t >= logit_length) pass alpha through unchanged;
+    padded label slots stay at LOG_EPS forever.
+
+Numerics are kept in float32 regardless of the model's compute dtype
+(SURVEY.md §7 "CTC numerics").
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+LOG_EPS = -1e30
+
+
+def _logaddexp3(a, b, c):
+    m = jnp.maximum(jnp.maximum(a, b), c)
+    m_safe = jnp.maximum(m, LOG_EPS)
+    out = m_safe + jnp.log(
+        jnp.exp(a - m_safe) + jnp.exp(b - m_safe) + jnp.exp(c - m_safe)
+    )
+    return jnp.maximum(out, LOG_EPS)
+
+
+def ctc_loss(
+    logits: jnp.ndarray,
+    logit_lengths: jnp.ndarray,
+    labels: jnp.ndarray,
+    label_lengths: jnp.ndarray,
+    blank_id: int = 0,
+) -> jnp.ndarray:
+    """Per-utterance CTC negative log-likelihood.
+
+    Args:
+      logits: (B, T, C) float, unsoftmaxed.
+      logit_lengths: (B,) int32 valid frame counts.
+      labels: (B, L) int32 target ids, padded arbitrarily past length.
+      label_lengths: (B,) int32 valid label counts.
+      blank_id: CTC blank class id (0 in the reference family).
+
+    Returns:
+      (B,) float32 losses. An utterance whose labels cannot fit its
+      frames (2L+1 > T skips aside: L > T) yields a large finite loss
+      rather than inf; the train step masks non-finite/overflow cases
+      like the reference's inf/NaN batch skip (ref:train.py).
+    """
+    logits = logits.astype(jnp.float32)
+    b, t_max, n_class = logits.shape
+    l_max = labels.shape[1]
+    s_max = 2 * l_max + 1
+
+    logprobs = jax.nn.log_softmax(logits, axis=-1)
+
+    # Extended sequence z: (B, S) = [blank, l1, blank, ..., lL, blank]
+    z = jnp.full((b, s_max), blank_id, dtype=labels.dtype)
+    z = z.at[:, 1::2].set(labels)
+
+    s_idx = jnp.arange(s_max, dtype=jnp.int32)[None, :]  # (1, S)
+    valid_s = s_idx < (2 * label_lengths[:, None] + 1)  # (B, S)
+
+    # Skip transition allowed at odd s when the label differs from the
+    # label two slots back (standard CTC rule).
+    z_shift2 = jnp.pad(z, ((0, 0), (2, 0)), constant_values=blank_id)[:, :s_max]
+    allow_skip = (z != blank_id) & (z != z_shift2) & (s_idx >= 2)
+
+    emit_all = jnp.take_along_axis(
+        jnp.swapaxes(logprobs, 0, 1),  # (T, B, C)
+        jnp.broadcast_to(z[None], (t_max, b, s_max)),
+        axis=-1,
+    )  # (T, B, S): log P_t(z_s)
+
+    alpha0 = jnp.full((b, s_max), LOG_EPS, jnp.float32)
+    alpha0 = alpha0.at[:, 0].set(emit_all[0, :, 0])
+    has_label = label_lengths > 0
+    alpha0 = alpha0.at[:, 1].set(
+        jnp.where(has_label, emit_all[0, :, 1], LOG_EPS)
+    )
+
+    frame_valid = (
+        jnp.arange(t_max, dtype=jnp.int32)[:, None] < logit_lengths[None, :]
+    )  # (T, B)
+
+    def step(alpha, inp):
+        emit, valid_t = inp  # (B, S), (B,)
+        a1 = jnp.pad(alpha, ((0, 0), (1, 0)), constant_values=LOG_EPS)[:, :s_max]
+        a2 = jnp.pad(alpha, ((0, 0), (2, 0)), constant_values=LOG_EPS)[:, :s_max]
+        a2 = jnp.where(allow_skip, a2, LOG_EPS)
+        new = _logaddexp3(alpha, a1, a2) + emit
+        new = jnp.where(valid_s, new, LOG_EPS)
+        new = jnp.maximum(new, LOG_EPS)
+        alpha = jnp.where(valid_t[:, None], new, alpha)
+        return alpha, None
+
+    alpha_t, _ = jax.lax.scan(step, alpha0, (emit_all[1:], frame_valid[1:]))
+
+    end = 2 * label_lengths  # index of final blank in z
+    a_last = jnp.take_along_axis(alpha_t, end[:, None], axis=1)[:, 0]
+    a_prev = jnp.take_along_axis(
+        alpha_t, jnp.maximum(end - 1, 0)[:, None], axis=1
+    )[:, 0]
+    a_prev = jnp.where(has_label, a_prev, LOG_EPS)
+
+    total = jnp.logaddexp(a_last, a_prev)
+    return -jnp.maximum(total, LOG_EPS)
+
+
+def ctc_loss_mean(
+    logits, logit_lengths, labels, label_lengths, blank_id: int = 0
+):
+    """Batch-mean CTC loss with the reference's inf/NaN guard: utterances
+    whose loss is non-finite or degenerate (label longer than frames)
+    are dropped from the mean (ref:train.py loss-skip behavior, applied
+    per-utterance instead of per-batch — strictly better)."""
+    per_utt = ctc_loss(logits, logit_lengths, labels, label_lengths, blank_id)
+    feasible = (label_lengths <= logit_lengths) & (label_lengths >= 0)
+    ok = jnp.isfinite(per_utt) & (per_utt < -LOG_EPS / 2) & feasible
+    denom = jnp.maximum(jnp.sum(ok), 1)
+    return jnp.sum(jnp.where(ok, per_utt, 0.0)) / denom, ok

@@ -1,0 +1,122 @@
+"""Host batch loader: manifest entries -> padded NumPy batches.
+
+Replaces the reference's CPU-heavy ``AudioDataLoader`` +
+``SpectrogramDataset`` worker pool (ref:data/data_loader.py). The
+reference decoded audio, ran sox augmentation, STFT, normalization and
+collation on host workers; here the host does ONLY wav decode +
+transcript encode + padding — spectrograms, normalization and
+augmentation all run on device (tpuasr.audio.frontend / .augment),
+which is the north-star requirement.
+
+Collation contract (vs the reference's _collate_fn): the reference
+emitted (B,1,F,T_max), input_percentages and a flat 1-D target vector
+(warp-ctc layout). Our device pipeline wants raw waveforms: a batch is
+(waves (B, L_bucket), wave_lengths, labels (B, L_cap), label_lengths,
+valid) — all static shapes per bucket, so XLA compiles once per bucket.
+Short final batches are padded with repeated entries and masked via
+``valid`` instead of shrinking the batch (static batch dim).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from dataclasses import dataclass
+
+import numpy as np
+
+from tpuasr.audio.io import load_audio
+from tpuasr.data.buckets import BatchPlanEntry, BucketingPlan
+from tpuasr.labels import Alphabet
+
+
+@dataclass
+class Batch:
+    waves: np.ndarray  # (B, L_bucket) float32
+    wave_lengths: np.ndarray  # (B,) int32
+    labels: np.ndarray  # (B, L_cap) int32
+    label_lengths: np.ndarray  # (B,) int32
+    valid: np.ndarray  # (B,) bool — False for batch-padding duplicates
+    bucket: int
+    texts: list  # reference transcripts (for eval)
+
+    @property
+    def size(self) -> int:
+        return int(self.valid.sum())
+
+
+class AudioBatchLoader:
+    """Iterates a BucketingPlan epoch, reading + padding on a background
+    thread with bounded prefetch (double buffering: the device computes
+    step N while the host reads step N+1)."""
+
+    def __init__(
+        self,
+        plan: BucketingPlan,
+        alphabet: Alphabet,
+        sample_rate: int = 16000,
+        prefetch: int = 2,
+        rank: int = 0,
+        world: int = 1,
+    ):
+        self.plan = plan
+        self.alphabet = alphabet
+        self.sample_rate = sample_rate
+        self.prefetch = prefetch
+        self.rank = rank
+        self.world = world
+
+    def _make_batch(self, pb: BatchPlanEntry) -> Batch:
+        spec = self.plan.spec
+        bsz = self.plan.batch_size
+        l_bucket = spec.bucket_samples(pb.bucket)
+        l_cap = spec.bucket_label_cap(pb.bucket)
+
+        idx = list(pb.indices)
+        n_real = len(idx)
+        while len(idx) < bsz:  # static batch: pad with repeats, masked
+            idx.append(idx[-1])
+
+        waves = np.zeros((bsz, l_bucket), np.float32)
+        wave_lengths = np.zeros((bsz,), np.int32)
+        labels = np.zeros((bsz, l_cap), np.int32)
+        label_lengths = np.zeros((bsz,), np.int32)
+        texts = []
+        for j, i in enumerate(idx):
+            e = self.plan.entries[i]
+            w = load_audio(e.wav_path, expected_sample_rate=self.sample_rate)
+            n = min(len(w), l_bucket)
+            waves[j, :n] = w[:n]
+            wave_lengths[j] = n
+            text = e.read_transcript()
+            ids = self.alphabet.encode(text)[:l_cap]
+            labels[j, : len(ids)] = ids
+            label_lengths[j] = len(ids)
+            texts.append(text)
+        valid = np.arange(bsz) < n_real
+        return Batch(waves, wave_lengths, labels, label_lengths, valid,
+                     pb.bucket, texts)
+
+    def epoch(self, epoch: int):
+        """Yield prefetched batches for one epoch (this rank's shard)."""
+        schedule = self.plan.sharded_batches(epoch, self.rank, self.world)
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = object()
+
+        def producer():
+            try:
+                for pb in schedule:
+                    q.put(self._make_batch(pb))
+            finally:
+                q.put(stop)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item
+
+    def num_batches(self, epoch: int) -> int:
+        return len(self.plan.sharded_batches(epoch, self.rank, self.world))

@@ -1,0 +1,244 @@
+"""Epoch training loop.
+
+Reference parity: ``main()`` in ref:train.py (call stack SURVEY.md
+§4.1): SortaGrad epoch schedule, per-iteration loss logging, per-epoch
+greedy-decode validation WER/CER, LR annealing (/= 1.1 per epoch),
+per-epoch checkpoints + best-model tracking, --checkpoint-per-batch,
+--continue-from exact resume and --finetune weights-only load.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpuasr.audio.frontend import FrontendConfig
+from tpuasr.data.loader import AudioBatchLoader, Batch
+from tpuasr.decode.greedy import GreedyDecoder
+from tpuasr.decode.metrics import ErrorRateMeter
+from tpuasr.labels import Alphabet
+from tpuasr.model.ds2 import ModelConfig
+from tpuasr.train.checkpoint import (
+    CheckpointPackage,
+    load_checkpoint,
+    restore_opt_state,
+    save_checkpoint,
+)
+from tpuasr.train.logging import AverageMeter, MetricsLogger
+from tpuasr.train.mesh import make_mesh, shard_batch, replicate
+from tpuasr.train.step import (
+    TrainConfig,
+    TrainState,
+    init_train_state,
+    make_eval_step,
+    make_optimizer,
+    make_train_step,
+)
+
+
+@dataclass
+class LoopConfig:
+    epochs: int = 70
+    seed: int = 123456
+    save_folder: str | None = None
+    model_path: str | None = None  # best-model path
+    checkpoint_per_epoch: bool = True
+    checkpoint_per_batch: int = 0  # 0 = off
+    log_dir: str | None = None
+    tensorboard: bool = False
+    quiet: bool = False
+    use_mesh: bool = True
+
+
+def _device_batch(batch: Batch, mesh):
+    arrays = (
+        batch.waves,
+        batch.wave_lengths,
+        batch.labels,
+        batch.label_lengths,
+        batch.valid,
+    )
+    if mesh is not None:
+        return shard_batch(mesh, arrays)
+    return tuple(jnp.asarray(a) for a in arrays)
+
+
+def evaluate(
+    eval_step,
+    variables,
+    loader: AudioBatchLoader,
+    alphabet: Alphabet,
+    mesh=None,
+    max_batches: int | None = None,
+) -> tuple[float, float, float]:
+    """Greedy-decode validation (ref:train.py validation block).
+    Returns (wer, cer, avg_loss-free placeholder 0.0)."""
+    decoder = GreedyDecoder(alphabet)
+    meter = ErrorRateMeter()
+    for i, batch in enumerate(loader.epoch(0)):
+        if max_batches is not None and i >= max_batches:
+            break
+        waves, wave_lengths, labels, label_lengths, valid = _device_batch(
+            batch, mesh
+        )
+        logits, out_lengths = eval_step(variables, waves, wave_lengths)
+        hyps = decoder.decode(logits, out_lengths)
+        for j, (hyp, ref) in enumerate(zip(hyps, batch.texts)):
+            if batch.valid[j]:
+                meter.update(hyp, ref)
+    return meter.wer, meter.cer, 0.0
+
+
+def train(
+    model_cfg: ModelConfig,
+    frontend_cfg: FrontendConfig,
+    train_cfg: TrainConfig,
+    loop_cfg: LoopConfig,
+    train_loader: AudioBatchLoader,
+    val_loader: AudioBatchLoader | None,
+    alphabet: Alphabet,
+    continue_from: str | None = None,
+    finetune: bool = False,
+    augment_fn=None,
+) -> CheckpointPackage:
+    logger = MetricsLogger(loop_cfg.log_dir, loop_cfg.tensorboard, loop_cfg.quiet)
+    mesh = make_mesh() if loop_cfg.use_mesh and len(jax.devices()) > 1 else None
+
+    rng = jax.random.PRNGKey(loop_cfg.seed)
+    start_epoch, iteration = 0, 0
+    histories = {"loss": [], "wer": [], "cer": []}
+    best_wer = float("inf")
+
+    state = init_train_state(model_cfg, train_cfg, rng)
+    if continue_from:
+        pkg = load_checkpoint(continue_from)
+        model_cfg = pkg.model_config
+        frontend_cfg = pkg.frontend_config
+        alphabet = pkg.alphabet
+        state = state.replace(
+            params=jax.tree.map(
+                jnp.asarray,
+                restore_opt_state(state.params, pkg.variables["params"]),
+            ),
+            batch_stats=jax.tree.map(
+                jnp.asarray,
+                restore_opt_state(state.batch_stats, pkg.variables["batch_stats"]),
+            ),
+        )
+        if not finetune:  # exact resume (--continue-from)
+            if pkg.opt_state is not None:
+                state = state.replace(
+                    opt_state=restore_opt_state(state.opt_state, pkg.opt_state)
+                )
+            start_epoch = pkg.epoch
+            iteration = pkg.iteration
+            histories = {
+                "loss": list(pkg.loss_history),
+                "wer": list(pkg.wer_history),
+                "cer": list(pkg.cer_history),
+            }
+            best_wer = pkg.best_wer
+
+    if mesh is not None:
+        state = replicate(mesh, state)
+
+    train_step = make_train_step(model_cfg, frontend_cfg, train_cfg, augment_fn)
+    eval_step = make_eval_step(model_cfg, frontend_cfg)
+
+    def make_pkg(epoch: int) -> CheckpointPackage:
+        host_state = jax.device_get(state)
+        return CheckpointPackage(
+            model_config=model_cfg,
+            frontend_config=frontend_cfg,
+            labels=alphabet.labels,
+            variables={
+                "params": host_state.params,
+                "batch_stats": host_state.batch_stats,
+            },
+            opt_state=host_state.opt_state,
+            epoch=epoch,
+            iteration=iteration,
+            loss_history=histories["loss"],
+            wer_history=histories["wer"],
+            cer_history=histories["cer"],
+            best_wer=best_wer,
+        )
+
+    pkg = make_pkg(start_epoch)
+    for epoch in range(start_epoch, loop_cfg.epochs):
+        lr = train_cfg.lr_at_epoch(epoch)  # anneal: lr / 1.1^epoch
+        loss_meter = AverageMeter()
+        step_time = AverageMeter()
+        data_time = AverageMeter()
+        epoch_start = time.time()
+        t_prev = time.time()
+
+        for i, batch in enumerate(train_loader.epoch(epoch)):
+            t_data = time.time()
+            data_time.update(t_data - t_prev)
+            waves, wave_lengths, labels, label_lengths, valid = _device_batch(
+                batch, mesh
+            )
+            rng, step_rng = jax.random.split(rng)
+            state, metrics = train_step(
+                state, waves, wave_lengths, labels, label_lengths, valid,
+                jnp.float32(lr), step_rng,
+            )
+            loss = float(metrics["loss"])
+            loss_meter.update(loss, n=batch.size)
+            iteration += 1
+            t_prev = time.time()
+            step_time.update(t_prev - t_data)
+            logger.log(iteration, {**{k: float(v) for k, v in metrics.items()},
+                                   "lr": lr, "epoch": epoch,
+                                   "step_time": step_time.val,
+                                   "data_time": data_time.val}, prefix="train/")
+            if i % 10 == 0:
+                logger.console(
+                    f"Epoch {epoch} [{i}/{train_loader.num_batches(epoch)}] "
+                    f"loss {loss:.4f} (avg {loss_meter.avg:.4f}) "
+                    f"step {step_time.val * 1e3:.0f}ms data {data_time.val * 1e3:.0f}ms"
+                )
+            if (
+                loop_cfg.checkpoint_per_batch
+                and loop_cfg.save_folder
+                and (i + 1) % loop_cfg.checkpoint_per_batch == 0
+            ):
+                save_checkpoint(
+                    f"{loop_cfg.save_folder}/tpuasr_e{epoch}_b{i + 1}.ckpt",
+                    make_pkg(epoch),
+                )
+
+        histories["loss"].append(loss_meter.avg)
+        wer, cer = float("nan"), float("nan")
+        if val_loader is not None:
+            variables = {
+                "params": state.params,
+                "batch_stats": state.batch_stats,
+            }
+            wer, cer, _ = evaluate(eval_step, variables, val_loader, alphabet, mesh)
+        histories["wer"].append(wer)
+        histories["cer"].append(cer)
+        logger.log(epoch, {"loss": loss_meter.avg, "wer": wer, "cer": cer,
+                           "epoch_time": time.time() - epoch_start},
+                   prefix="epoch/")
+        logger.console(
+            f"Epoch {epoch} done in {time.time() - epoch_start:.1f}s: "
+            f"loss {loss_meter.avg:.4f} WER {wer:.2f} CER {cer:.2f} lr {lr:.2e}"
+        )
+
+        pkg = make_pkg(epoch + 1)
+        if loop_cfg.save_folder and loop_cfg.checkpoint_per_epoch:
+            save_checkpoint(f"{loop_cfg.save_folder}/tpuasr_{epoch + 1}.ckpt", pkg)
+        if loop_cfg.model_path and (np.isnan(wer) or wer <= best_wer):
+            if not np.isnan(wer):
+                best_wer = wer
+                pkg.best_wer = best_wer
+            save_checkpoint(loop_cfg.model_path, pkg)
+
+    logger.close()
+    return pkg

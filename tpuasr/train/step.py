@@ -1,0 +1,159 @@
+"""Jitted train / eval steps.
+
+Reference parity: the inner loop of ref:train.py (SURVEY.md §4.1) —
+forward, warp-ctc loss / batch_size, inf/NaN guard, backward,
+clip_grad_norm_(400), SGD + Nesterov momentum step — plus the
+validation forward. The reference's CPU dataloader hot path (STFT +
+normalize) runs INSIDE this step on device, fused by XLA with the
+model itself; augmentation (noise/tempo/SpecAugment) likewise.
+
+TPU-first details:
+  * The learning rate is a plain dynamic scalar argument, so the
+    per-epoch annealing (lr /= 1.1) never retriggers compilation.
+  * Gradient clipping runs before the momentum trace, matching
+    ``clip_grad_norm_`` followed by ``optimizer.step()``.
+  * The inf/NaN guard is per-utterance (mask out of the loss mean)
+    rather than the reference's whole-batch skip — strictly better and
+    branch-free (no data-dependent control flow under jit).
+  * Under a data mesh the same jitted function IS the DP program:
+    batches arrive sharded on the ``data`` axis, parameters replicated,
+    and XLA emits the gradient psum over ICI.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from tpuasr.audio.frontend import FrontendConfig, log_spectrogram
+from tpuasr.ctc.loss import ctc_loss
+from tpuasr.model.ds2 import DeepSpeech2, ModelConfig
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Mirrors the reference's optimizer flags (ref:train.py argparse):
+    --lr 3e-4 --momentum 0.9 (Nesterov) --max-norm 400
+    --learning-anneal 1.1."""
+
+    lr: float = 3e-4
+    momentum: float = 0.9
+    nesterov: bool = True
+    max_norm: float = 400.0
+    learning_anneal: float = 1.1
+
+    def lr_at_epoch(self, epoch: int) -> float:
+        return self.lr / (self.learning_anneal ** epoch)
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray  # scalar int32
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.max_norm),
+        optax.trace(decay=cfg.momentum, nesterov=cfg.nesterov),
+    )
+
+
+def init_train_state(model_cfg: ModelConfig, train_cfg: TrainConfig, rng,
+                     t_max: int = 64, batch: int = 2) -> TrainState:
+    model = DeepSpeech2(model_cfg)
+    variables = model.init_variables(rng, t_max=t_max, batch=batch)
+    tx = make_optimizer(train_cfg)
+    return TrainState(
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        opt_state=tx.init(variables["params"]),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def make_train_step(model_cfg: ModelConfig, frontend_cfg: FrontendConfig,
+                    train_cfg: TrainConfig, augment_fn=None):
+    """Returns jitted fn: (state, waves, wave_lengths, labels,
+    label_lengths, valid, lr, rng) -> (state, metrics)."""
+    model = DeepSpeech2(model_cfg)
+    tx = make_optimizer(train_cfg)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, waves, wave_lengths, labels,
+                   label_lengths, valid, lr, rng):
+        if augment_fn is not None:
+            rng_w, rng_f = jax.random.split(rng)
+            waves, wave_lengths = augment_fn.waves(rng_w, waves, wave_lengths)
+        feats, feat_lengths = log_spectrogram(waves, wave_lengths, frontend_cfg)
+        if augment_fn is not None:
+            feats = augment_fn.feats(rng_f, feats, feat_lengths)
+        # Batch-padding slots (valid=False duplicates) must not leak into
+        # BatchNorm statistics: zero their lengths so every masked stage
+        # ignores them entirely.
+        feat_lengths = jnp.where(valid, feat_lengths, 0)
+
+        def loss_fn(params):
+            (logits, out_lengths), updates = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                feats, feat_lengths, train=True, mutable=["batch_stats"],
+            )
+            per_utt = ctc_loss(logits, out_lengths, labels, label_lengths)
+            ok = (
+                valid
+                & (label_lengths <= out_lengths)
+                & jnp.isfinite(per_utt)
+                & (per_utt < 1e29)
+            )
+            n_ok = jnp.maximum(jnp.sum(ok), 1)
+            loss = jnp.sum(jnp.where(ok, per_utt, 0.0)) / n_ok
+            return loss, (updates["batch_stats"], jnp.sum(ok))
+
+        (loss, (new_stats, n_ok)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+
+        grad_norm = optax.global_norm(grads)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        updates = jax.tree.map(lambda u: -lr * u, updates)
+        params = optax.apply_updates(state.params, updates)
+
+        new_state = TrainState(
+            params=params,
+            batch_stats=new_stats,
+            opt_state=opt_state,
+            step=state.step + 1,
+        )
+        metrics = {
+            "loss": loss,
+            "grad_norm": grad_norm,
+            "n_ok": n_ok,
+            "n_frames": jnp.sum(feat_lengths * valid),
+        }
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(model_cfg: ModelConfig, frontend_cfg: FrontendConfig):
+    """Returns jitted fn: (variables, waves, wave_lengths) ->
+    (logits, out_lengths) with eval-mode BN (running stats).
+    The reference's InferenceBatchSoftmax is intentionally NOT applied:
+    decoders take raw logits (argmax/log-softmax invariant)."""
+    model = DeepSpeech2(model_cfg)
+
+    @jax.jit
+    def eval_step(variables, waves, wave_lengths):
+        feats, feat_lengths = log_spectrogram(waves, wave_lengths, frontend_cfg)
+        logits, out_lengths = model.apply(variables, feats, feat_lengths,
+                                          train=False)
+        return logits, out_lengths
+
+    return eval_step
