@@ -32,6 +32,14 @@ ITERS = 10
 
 def main() -> None:
     import jax
+
+    # Persistent compile cache: the first TPU compile of the full train
+    # step takes minutes via remote compile; cache it across runs.
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/tpuasr_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from tpuasr.audio.frontend import FrontendConfig
@@ -67,14 +75,18 @@ def main() -> None:
         )
         return metrics
 
+    # warmup with a REAL host sync each step: float() materializes the
+    # scalar, which some PJRT transports wait for more honestly than
+    # block_until_ready (measured: block_until_ready once reported a
+    # 2.5 ms "step" that float-sync shows is ~200 ms).
     for i in range(WARMUP):
         m = one(i)
-    jax.block_until_ready(m["loss"])
+        _ = float(m["loss"])
 
     t0 = time.perf_counter()
     for i in range(ITERS):
         m = one(WARMUP + i)
-    jax.block_until_ready(m["loss"])
+    _ = float(m["loss"])  # final state depends on every queued step
     dt = time.perf_counter() - t0
 
     utt_per_sec = BATCH * ITERS / dt

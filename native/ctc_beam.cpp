@@ -1,0 +1,369 @@
+// Host-native CTC prefix beam search with n-gram LM shallow fusion.
+//
+// TPU-framework analogue of the reference's ctcdecode C++ extension
+// (+ the KenLM scoring path linked into it) — see SURVEY.md §3.2. The
+// on-device decoder (tpuasr/decode/beam.py) is the production path;
+// this native decoder exists for (a) exact-parity checks against the
+// Python oracle at C++ speed over full eval sets, and (b) host-side
+// batch decoding with a word-level LM where ctcdecode was used.
+//
+// The LM is a flat open-addressed hash file written by
+// tpuasr.decode.native.write_lm_binary: 64-bit splitmix hashes of
+// UTF-8 token sequences -> (natural-log prob, backoff), one table per
+// n-gram order. Hashing matches tpuasr/decode/lm.py token_hash /
+// context_hash bit-for-bit.
+//
+// Build: make -C native   (produces libtpuasr_native.so)
+// Bind:  ctypes, tpuasr/decode/native.py
+
+#include <algorithm>
+#include <atomic>
+#include <cmath>
+#include <numeric>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <string>
+#include <thread>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+constexpr float kNeg = -1e30f;
+
+inline float lse(float a, float b) {
+  if (a < b) std::swap(a, b);
+  if (b <= kNeg / 2) return a;
+  return a + std::log1p(std::exp(b - a));
+}
+
+// ---- 64-bit hashing (must match tpuasr/decode/lm.py) ----
+constexpr uint64_t kMult = 0x9E3779B97F4A7C15ull;
+
+inline uint64_t mix64(uint64_t h, uint64_t x) {
+  h = (h ^ x) * kMult;
+  return h ^ (h >> 29);
+}
+
+uint64_t token_hash(const std::string& tok) {
+  uint64_t h = 1469598103934665603ull;
+  for (unsigned char c : tok) h = mix64(h, c);
+  return h;
+}
+
+struct LmTable {
+  std::vector<uint64_t> keys;
+  std::vector<float> logp;
+  std::vector<float> backoff;
+
+  bool lookup(uint64_t h, float* lp, float* bo) const {
+    if (keys.empty()) return false;
+    size_t cap = keys.size();
+    size_t slot = h % cap;
+    for (size_t i = 0; i < cap; ++i) {
+      if (keys[slot] == h) {
+        *lp = logp[slot];
+        *bo = backoff[slot];
+        return true;
+      }
+      if (keys[slot] == 0) return false;
+      slot = (slot + 1) % cap;
+    }
+    return false;
+  }
+};
+
+struct Lm {
+  int order = 0;
+  std::vector<LmTable> tables;
+  uint64_t unk_hash = 0;
+
+  bool in_vocab(uint64_t tok_h) const {
+    float lp, bo;
+    uint64_t h = mix64(0, tok_h);
+    return tables[0].lookup(h ? h : 1ull, &lp, &bo);
+  }
+
+  // log P(word | context words), Katz backoff; natural log. Matches
+  // tpuasr.decode.lm.ArpaLM.score_word: OOV tokens (word and context)
+  // canonicalize to <unk>; a word missing even as <unk> scores the
+  // ARPA "-99" floor (log10) in natural log.
+  float score(const std::vector<uint64_t>& ctx_hashes,
+              uint64_t word_h) const {
+    if (!in_vocab(word_h)) word_h = unk_hash;
+    std::vector<uint64_t> ctx = ctx_hashes;
+    for (auto& t : ctx)
+      if (!in_vocab(t)) t = unk_hash;
+    int max_ctx = std::min<int>((int)ctx.size(), order - 1);
+    float bo_acc = 0.0f;
+    for (int m = max_ctx; m >= 0; --m) {
+      uint64_t h = 0;
+      for (int i = (int)ctx.size() - m; i < (int)ctx.size(); ++i)
+        h = mix64(h, ctx[i]);
+      uint64_t full = mix64(h, word_h);
+      float lp, bo;
+      if (tables[m].lookup(full ? full : 1ull, &lp, &bo)) return bo_acc + lp;
+      if (m > 0) {
+        uint64_t ctx_only = h;
+        float clp, cbo;
+        if (tables[m - 1].lookup(ctx_only ? ctx_only : 1ull, &clp, &cbo))
+          bo_acc += cbo;
+      }
+    }
+    // unigram floor still carries the accumulated backoff chain
+    // (parity with ArpaLM.score_word: bo + ... + bo + floor)
+    return bo_acc + -227.9559f;  // -99 in log10 (ARPA impossible)
+  }
+};
+
+struct Beam {
+  std::vector<int> prefix;
+  float pb = kNeg;   // ends in blank
+  float pnb = kNeg;  // ends in non-blank
+  float lm = 0.0f;   // accumulated alpha*logP_lm + beta*words
+  float total() const { return lse(pb, pnb) + lm; }
+};
+
+struct PrefixHash {
+  size_t operator()(const std::vector<int>& v) const {
+    uint64_t h = 14695981039346656037ull;
+    for (int x : v) h = mix64(h, (uint64_t)(x + 1));
+    return (size_t)h;
+  }
+};
+
+struct DecodeConfig {
+  int blank = 0;
+  int space = -1;
+  int beam_width = 10;
+  float alpha = 0.0f;
+  float beta = 0.0f;
+  int cutoff_top_n = 40;
+  float cutoff_prob = 1.0f;
+};
+
+// characters since last space -> UTF-8 word string
+std::string last_word(const std::vector<int>& prefix, int space,
+                      const std::vector<std::string>& labels) {
+  std::string w;
+  std::vector<int> chars;
+  for (auto it = prefix.rbegin(); it != prefix.rend(); ++it) {
+    if (*it == space) break;
+    chars.push_back(*it);
+  }
+  for (auto it = chars.rbegin(); it != chars.rend(); ++it)
+    w += labels[*it];
+  return w;
+}
+
+// hashes of completed words in the prefix (BOS first)
+std::vector<uint64_t> context_words(const std::vector<int>& prefix, int space,
+                                    const std::vector<std::string>& labels) {
+  std::vector<uint64_t> out;
+  out.push_back(token_hash("<s>"));
+  std::string cur;
+  for (int c : prefix) {
+    if (c == space) {
+      if (!cur.empty()) out.push_back(token_hash(cur));
+      cur.clear();
+    } else {
+      cur += labels[c];
+    }
+  }
+  // cur = in-progress word (the one being closed by the caller)
+  return out;
+}
+
+void decode_one(const float* logprobs, int T, int C, const DecodeConfig& cfg,
+                const Lm* lm, const std::vector<std::string>& labels,
+                std::vector<int>* out_ids, float* out_score) {
+  std::unordered_map<std::vector<int>, Beam, PrefixHash> beams;
+  Beam root;
+  root.pb = 0.0f;
+  beams.emplace(std::vector<int>{}, root);
+
+  std::vector<int> cand(C);
+  for (int t = 0; t < T; ++t) {
+    const float* lp = logprobs + (size_t)t * C;
+    // candidate pruning: top-n + cumulative prob cutoff
+    std::iota(cand.begin(), cand.end(), 0);
+    std::sort(cand.begin(), cand.end(),
+              [&](int a, int b) { return lp[a] > lp[b]; });
+    int keep = C;
+    if (cfg.cutoff_prob < 1.0f) {
+      float cum = 0.0f;
+      for (int i = 0; i < C; ++i) {
+        cum += std::exp(lp[cand[i]]);
+        if (cum >= cfg.cutoff_prob) { keep = i + 1; break; }
+      }
+    }
+    keep = std::min(keep, cfg.cutoff_top_n);
+
+    std::unordered_map<std::vector<int>, Beam, PrefixHash> next;
+    next.reserve(beams.size() * (keep + 1));
+
+    for (auto& kv : beams) {
+      const std::vector<int>& prefix = kv.first;
+      const Beam& b = kv.second;
+      float p_tot = lse(b.pb, b.pnb);
+      int last = prefix.empty() ? -1 : prefix.back();
+
+      for (int i = 0; i < keep; ++i) {
+        int c = cand[i];
+        float lpc = lp[c];
+        if (c == cfg.blank) {
+          Beam& e = next[prefix];
+          if (e.prefix.empty() && !prefix.empty()) e.prefix = prefix;
+          e.pb = lse(e.pb, p_tot + lpc);
+          e.lm = b.lm;
+          continue;
+        }
+        float contrib;
+        if (c == last) {
+          Beam& e = next[prefix];
+          if (e.prefix.empty() && !prefix.empty()) e.prefix = prefix;
+          e.pnb = lse(e.pnb, b.pnb + lpc);
+          e.lm = b.lm;
+          contrib = b.pb + lpc;
+        } else {
+          contrib = p_tot + lpc;
+        }
+        std::vector<int> np = prefix;
+        np.push_back(c);
+        float lm_new = b.lm;
+        if (lm && c == cfg.space) {
+          std::string w = last_word(prefix, cfg.space, labels);
+          if (!w.empty()) {
+            auto ctx = context_words(prefix, cfg.space, labels);
+            lm_new += cfg.alpha * lm->score(ctx, token_hash(w)) + cfg.beta;
+          }
+        }
+        Beam& e = next[np];
+        e.prefix = std::move(np);
+        e.pnb = lse(e.pnb, contrib);
+        e.lm = lm_new;
+      }
+    }
+
+    // prune to beam width
+    std::vector<std::pair<float, const std::vector<int>*>> scored;
+    scored.reserve(next.size());
+    for (auto& kv : next) scored.push_back({kv.second.total(), &kv.first});
+    int w = std::min<int>(cfg.beam_width, (int)scored.size());
+    std::partial_sort(scored.begin(), scored.begin() + w, scored.end(),
+                      [](auto& a, auto& b) { return a.first > b.first; });
+    std::unordered_map<std::vector<int>, Beam, PrefixHash> pruned;
+    pruned.reserve(w);
+    for (int i = 0; i < w; ++i) pruned.emplace(*scored[i].second,
+                                               next[*scored[i].second]);
+    beams = std::move(pruned);
+  }
+
+  // final word scoring + pick best
+  float best = kNeg;
+  const std::vector<int>* best_prefix = nullptr;
+  for (auto& kv : beams) {
+    float total = kv.second.total();
+    if (lm && cfg.space >= 0) {
+      std::string w = last_word(kv.first, cfg.space, labels);
+      if (!w.empty()) {
+        std::vector<int> closed = kv.first;
+        closed.push_back(cfg.space);
+        auto ctx = context_words(kv.first, cfg.space, labels);
+        total += cfg.alpha * lm->score(ctx, token_hash(w)) + cfg.beta;
+      }
+    }
+    if (total > best) {
+      best = total;
+      best_prefix = &kv.first;
+    }
+  }
+  if (best_prefix) *out_ids = *best_prefix;
+  *out_score = best;
+}
+
+}  // namespace
+
+extern "C" {
+
+void* tpuasr_lm_load(const char* path) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return nullptr;
+  char magic[8];
+  if (std::fread(magic, 1, 8, f) != 8 || std::memcmp(magic, "TPUASRLM", 8)) {
+    std::fclose(f);
+    return nullptr;
+  }
+  auto* lm = new Lm();
+  lm->unk_hash = token_hash("<unk>");
+  uint32_t order = 0;
+  if (std::fread(&order, 4, 1, f) != 1) { std::fclose(f); delete lm; return nullptr; }
+  lm->order = (int)order;
+  lm->tables.resize(order);
+  for (uint32_t k = 0; k < order; ++k) {
+    uint64_t cap = 0;
+    if (std::fread(&cap, 8, 1, f) != 1) { std::fclose(f); delete lm; return nullptr; }
+    auto& t = lm->tables[k];
+    t.keys.resize(cap);
+    t.logp.resize(cap);
+    t.backoff.resize(cap);
+    if (std::fread(t.keys.data(), 8, cap, f) != cap ||
+        std::fread(t.logp.data(), 4, cap, f) != cap ||
+        std::fread(t.backoff.data(), 4, cap, f) != cap) {
+      std::fclose(f);
+      delete lm;
+      return nullptr;
+    }
+  }
+  std::fclose(f);
+  return lm;
+}
+
+void tpuasr_lm_free(void* lm) { delete static_cast<Lm*>(lm); }
+
+// labels: C UTF-8 strings (the alphabet). Returns 0 on success.
+int tpuasr_beam_decode_batch(
+    const float* logprobs, const int* lengths, int B, int T, int C,
+    const char* const* labels, int blank, int space, int beam_width,
+    void* lm_handle, float alpha, float beta, int cutoff_top_n,
+    float cutoff_prob, int num_threads,
+    int* out_ids /*B x T*/, int* out_lens /*B*/, float* out_scores /*B*/) {
+  std::vector<std::string> lab(C);
+  for (int i = 0; i < C; ++i) lab[i] = labels[i];
+  const Lm* lm = static_cast<const Lm*>(lm_handle);
+  DecodeConfig cfg;
+  cfg.blank = blank;
+  cfg.space = space;
+  cfg.beam_width = beam_width;
+  cfg.alpha = alpha;
+  cfg.beta = beta;
+  cfg.cutoff_top_n = cutoff_top_n;
+  cfg.cutoff_prob = cutoff_prob;
+
+  auto work = [&](int b) {
+    std::vector<int> ids;
+    float score = kNeg;
+    decode_one(logprobs + (size_t)b * T * C, lengths[b], C, cfg, lm, lab,
+               &ids, &score);
+    int n = std::min<int>((int)ids.size(), T);
+    std::copy(ids.begin(), ids.begin() + n, out_ids + (size_t)b * T);
+    out_lens[b] = n;
+    out_scores[b] = score;
+  };
+
+  if (num_threads <= 1) {
+    for (int b = 0; b < B; ++b) work(b);
+  } else {
+    std::vector<std::thread> pool;
+    std::atomic<int> cursor{0};
+    for (int i = 0; i < num_threads; ++i)
+      pool.emplace_back([&]() {
+        int b;
+        while ((b = cursor.fetch_add(1)) < B) work(b);
+      });
+    for (auto& th : pool) th.join();
+  }
+  return 0;
+}
+}

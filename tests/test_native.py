@@ -1,0 +1,66 @@
+"""Native C++ decoder parity vs the Python host oracle."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpuasr.decode.beam_host import prefix_beam_search
+from tpuasr.decode.lm import train_ngram
+from tpuasr.decode.native import NativeBeamDecoder, write_lm_binary
+from tpuasr.labels import Alphabet
+
+ABC = Alphabet(labels="_AB C")
+
+
+def test_native_matches_python_no_lm():
+    rng = np.random.RandomState(0)
+    b, t, c = 4, 15, 5
+    logits = rng.randn(b, t, c).astype(np.float32) * 2
+    lengths = np.array([15, 11, 7, 3], np.int32)
+    logprobs = np.asarray(jax.nn.log_softmax(jnp.asarray(logits), -1))
+
+    dec = NativeBeamDecoder(ABC, beam_width=8, num_processes=2)
+    got = dec.decode(jnp.asarray(logits), jnp.asarray(lengths))
+    for i in range(b):
+        res = prefix_beam_search(logprobs[i, : lengths[i]], ABC, beam_width=8)
+        assert got[i] == res[0][0].strip(), (i, got[i], res[0])
+
+
+def test_native_matches_python_with_lm(tmp_path):
+    lm = train_ngram(["AB C AB", "AB AB", "C AB C"], order=2)
+    arpa = str(tmp_path / "lm.arpa")
+    lm.save(arpa)
+
+    rng = np.random.RandomState(1)
+    b, t, c = 3, 12, 5
+    logits = rng.randn(b, t, c).astype(np.float32) * 1.5
+    lengths = np.array([12, 10, 8], np.int32)
+    logprobs = np.asarray(jax.nn.log_softmax(jnp.asarray(logits), -1))
+
+    dec = NativeBeamDecoder(ABC, lm_path=arpa, alpha=1.0, beta=0.5,
+                            beam_width=8, num_processes=2)
+    got = dec.decode(jnp.asarray(logits), jnp.asarray(lengths))
+    for i in range(b):
+        res = prefix_beam_search(
+            logprobs[i, : lengths[i]], ABC, beam_width=8,
+            lm=lm, alpha=1.0, beta=0.5,
+        )
+        assert got[i] == res[0][0].strip(), (i, got[i], res[:2])
+
+
+def test_native_lm_shifts_output(tmp_path):
+    lm = train_ngram(["AB", "AB AB"], order=2)
+    arpa = str(tmp_path / "lm.arpa")
+    lm.save(arpa)
+    probs = np.full((3, 5), 1e-6)
+    probs[0, 1] = 0.49; probs[0, 4] = 0.51
+    probs[1, 2] = 1.0
+    probs[2, 3] = 1.0
+    logits = np.log(probs / probs.sum(-1, keepdims=True)).astype(np.float32)
+    lengths = np.array([3], np.int32)
+    no_lm = NativeBeamDecoder(ABC, beam_width=8)
+    with_lm = NativeBeamDecoder(ABC, lm_path=arpa, alpha=2.0, beta=0.0,
+                                beam_width=8)
+    assert no_lm.decode(logits[None], lengths)[0].startswith("CB")
+    assert with_lm.decode(logits[None], lengths)[0].startswith("AB")

@@ -80,7 +80,7 @@ def alphabet_from(args) -> Alphabet:
 
 def build_decoder(args, alphabet: Alphabet):
     if args.decoder == "beam":
-        from tpuasr.decode.beam import BeamCTCDecoder
+        from tpuasr.decode.beam_host import BeamCTCDecoder
 
         return BeamCTCDecoder(
             alphabet,

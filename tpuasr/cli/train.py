@@ -78,6 +78,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--visdom", action="store_true",
                    help="accepted for compatibility; maps to JSONL logging")
     p.add_argument("--seed", type=int, default=123456)
+    p.add_argument("--profile-dir", default=None,
+                   help="capture a JAX device trace of steps 10-15")
     p.add_argument("--quiet", action="store_true")
     p.add_argument("--cuda", action="store_true",
                    help="accepted for compatibility (device = TPU/XLA)")
@@ -115,6 +117,7 @@ def main(argv=None) -> int:
         log_dir=args.log_dir,
         tensorboard=args.tensorboard,
         quiet=args.quiet,
+        profile_dir=args.profile_dir,
     )
 
     spec = BucketSpec(sample_rate=args.sample_rate)

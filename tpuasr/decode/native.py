@@ -1,0 +1,161 @@
+"""ctypes bindings for the native host beam decoder (native/ctc_beam.cpp).
+
+Reference parity: the pybind11 binding layer of ctcdecode
+(``CTCBeamDecoder``) — here a plain C ABI + ctypes (this image has no
+pybind11; SURVEY.md environment notes). Also writes the framework's
+binary LM format consumed by the C++ side (``write_lm_binary``), which
+plays the role KenLM's binary format played for ctcdecode.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import struct
+import subprocess
+
+import numpy as np
+
+from tpuasr.decode.lm import ArpaLM, HashedNGramLM
+from tpuasr.labels import Alphabet
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libtpuasr_native.so")
+
+_lib = None
+
+
+def _load_lib():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH):
+        subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                       capture_output=True)
+    lib = ctypes.CDLL(_LIB_PATH)
+    lib.tpuasr_lm_load.restype = ctypes.c_void_p
+    lib.tpuasr_lm_load.argtypes = [ctypes.c_char_p]
+    lib.tpuasr_lm_free.argtypes = [ctypes.c_void_p]
+    lib.tpuasr_beam_decode_batch.restype = ctypes.c_int
+    lib.tpuasr_beam_decode_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_float),  # logprobs
+        ctypes.POINTER(ctypes.c_int),  # lengths
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,  # B T C
+        ctypes.POINTER(ctypes.c_char_p),  # labels
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,  # blank space width
+        ctypes.c_void_p,  # lm
+        ctypes.c_float, ctypes.c_float,  # alpha beta
+        ctypes.c_int, ctypes.c_float,  # cutoff_top_n cutoff_prob
+        ctypes.c_int,  # num_threads
+        ctypes.POINTER(ctypes.c_int),  # out_ids
+        ctypes.POINTER(ctypes.c_int),  # out_lens
+        ctypes.POINTER(ctypes.c_float),  # out_scores
+    ]
+    _lib = lib
+    return lib
+
+
+def write_lm_binary(lm: ArpaLM, path: str) -> None:
+    """HashedNGramLM tables -> flat binary the C++ decoder mmaps."""
+    hashed = HashedNGramLM.build(lm)
+    with open(path, "wb") as f:
+        f.write(b"TPUASRLM")
+        f.write(struct.pack("<I", hashed.order))
+        for k in range(hashed.order):
+            keys = np.ascontiguousarray(hashed.keys[k], dtype=np.uint64)
+            logps = np.ascontiguousarray(
+                hashed.logps[k] * 1.0, dtype=np.float32
+            )
+            # stored logps are log10*ln10 = natural log already
+            backoffs = np.ascontiguousarray(hashed.backoffs[k], np.float32)
+            f.write(struct.pack("<Q", keys.shape[0]))
+            f.write(keys.tobytes())
+            f.write(logps.tobytes())
+            f.write(backoffs.tobytes())
+
+
+class NativeBeamDecoder:
+    """Reference-API host decoder backed by C++ (multi-threaded batch),
+    mirroring ctcdecode's CTCBeamDecoder(labels, lm_path, alpha, beta,
+    cutoff_top_n, cutoff_prob, beam_width, num_processes, blank_index).
+    ``lm_path`` here is an ARPA file; it is converted to the binary
+    hash format on first use (cached alongside)."""
+
+    def __init__(
+        self,
+        alphabet: Alphabet,
+        lm_path: str | None = None,
+        alpha: float = 0.8,
+        beta: float = 1.0,
+        beam_width: int = 10,
+        cutoff_top_n: int = 40,
+        cutoff_prob: float = 1.0,
+        num_processes: int = 2,
+    ):
+        self.alphabet = alphabet
+        self.alpha = alpha
+        self.beta = beta
+        self.beam_width = beam_width
+        self.cutoff_top_n = cutoff_top_n
+        self.cutoff_prob = cutoff_prob
+        self.num_threads = num_processes
+        lib = _load_lib()
+        self._lm = None
+        if lm_path:
+            bin_path = lm_path + ".tpuasrlm"
+            if not os.path.exists(bin_path) or (
+                os.path.getmtime(bin_path) < os.path.getmtime(lm_path)
+            ):
+                write_lm_binary(ArpaLM.load(lm_path), bin_path)
+            self._lm = lib.tpuasr_lm_load(bin_path.encode())
+            if not self._lm:
+                raise RuntimeError(f"failed to load LM {bin_path}")
+        labels = [c.encode("utf-8") for c in alphabet.labels]
+        self._labels_arr = (ctypes.c_char_p * len(labels))(*labels)
+
+    def decode(self, logits, lengths, return_offsets: bool = False):
+        import jax.nn
+        import jax.numpy as jnp
+
+        logprobs = np.ascontiguousarray(
+            np.asarray(jax.nn.log_softmax(jnp.asarray(logits), axis=-1)),
+            dtype=np.float32,
+        )
+        lengths = np.ascontiguousarray(np.asarray(lengths), dtype=np.int32)
+        b, t, c = logprobs.shape
+        out_ids = np.zeros((b, t), np.int32)
+        out_lens = np.zeros((b,), np.int32)
+        out_scores = np.zeros((b,), np.float32)
+        lib = _load_lib()
+        rc = lib.tpuasr_beam_decode_batch(
+            logprobs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            b, t, c,
+            self._labels_arr,
+            self.alphabet.blank_id,
+            self.alphabet.space_id,
+            self.beam_width,
+            self._lm,
+            self.alpha, self.beta,
+            self.cutoff_top_n, self.cutoff_prob,
+            self.num_threads,
+            out_ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            out_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            out_scores.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
+        if rc != 0:
+            raise RuntimeError(f"native decode failed rc={rc}")
+        texts = [
+            self.alphabet.decode(out_ids[i, : out_lens[i]]).strip()
+            for i in range(b)
+        ]
+        if return_offsets:
+            return texts, [np.array([], np.int64)] * len(texts)
+        return texts
+
+    def __del__(self):
+        if getattr(self, "_lm", None):
+            try:
+                _load_lib().tpuasr_lm_free(self._lm)
+            except Exception:
+                pass

@@ -29,6 +29,7 @@ from tpuasr.train.checkpoint import (
     save_checkpoint,
 )
 from tpuasr.train.logging import AverageMeter, MetricsLogger
+from tpuasr.train.profiling import StepProfiler
 from tpuasr.train.mesh import make_mesh, shard_batch, replicate
 from tpuasr.train.step import (
     TrainConfig,
@@ -52,6 +53,7 @@ class LoopConfig:
     tensorboard: bool = False
     quiet: bool = False
     use_mesh: bool = True
+    profile_dir: str | None = None  # JAX device trace of steps 10-15
 
 
 def _device_batch(batch: Batch, mesh):
@@ -168,6 +170,7 @@ def train(
             best_wer=best_wer,
         )
 
+    profiler = StepProfiler(loop_cfg.profile_dir)
     pkg = make_pkg(start_epoch)
     for epoch in range(start_epoch, loop_cfg.epochs):
         lr = train_cfg.lr_at_epoch(epoch)  # anneal: lr / 1.1^epoch
@@ -184,6 +187,7 @@ def train(
                 batch, mesh
             )
             rng, step_rng = jax.random.split(rng)
+            profiler.maybe_start(iteration)
             state, metrics = train_step(
                 state, waves, wave_lengths, labels, label_lengths, valid,
                 jnp.float32(lr), step_rng,
@@ -191,6 +195,7 @@ def train(
             loss = float(metrics["loss"])
             loss_meter.update(loss, n=batch.size)
             iteration += 1
+            profiler.maybe_stop(iteration)
             t_prev = time.time()
             step_time.update(t_prev - t_data)
             logger.log(iteration, {**{k: float(v) for k, v in metrics.items()},
@@ -240,5 +245,6 @@ def train(
                 pkg.best_wer = best_wer
             save_checkpoint(loop_cfg.model_path, pkg)
 
+    profiler.close()
     logger.close()
     return pkg
