@@ -48,10 +48,13 @@ def main() -> None:
     from tpuasr.train.step import TrainConfig, init_train_state, make_train_step
 
     alphabet = Alphabet()
-    model_cfg = ModelConfig(n_classes=alphabet.size)
     frontend_cfg = FrontendConfig()
     train_cfg = TrainConfig()
 
+    # Prefer the fused Pallas BiGRU kernel; fall back to lax.scan if the
+    # kernel fails to compile on this runtime.
+    rnn_impl = "pallas"
+    model_cfg = ModelConfig(n_classes=alphabet.size, rnn_impl=rnn_impl)
     state = init_train_state(model_cfg, train_cfg, jax.random.PRNGKey(0))
     train_step = make_train_step(model_cfg, frontend_cfg, train_cfg)
 
@@ -79,9 +82,18 @@ def main() -> None:
     # scalar, which some PJRT transports wait for more honestly than
     # block_until_ready (measured: block_until_ready once reported a
     # 2.5 ms "step" that float-sync shows is ~200 ms).
-    for i in range(WARMUP):
-        m = one(i)
-        _ = float(m["loss"])
+    try:
+        for i in range(WARMUP):
+            m = one(i)
+            _ = float(m["loss"])
+    except Exception:
+        rnn_impl = "scan"
+        model_cfg = ModelConfig(n_classes=alphabet.size, rnn_impl=rnn_impl)
+        state = init_train_state(model_cfg, train_cfg, jax.random.PRNGKey(0))
+        train_step = make_train_step(model_cfg, frontend_cfg, train_cfg)
+        for i in range(WARMUP):
+            m = one(i)
+            _ = float(m["loss"])
 
     t0 = time.perf_counter()
     for i in range(ITERS):
@@ -102,6 +114,7 @@ def main() -> None:
             "batch": BATCH,
             "utt_seconds": SECONDS,
             "device": str(jax.devices()[0]),
+            "rnn_impl": rnn_impl,
             "loss": float(m["loss"]),
         },
     }

@@ -36,3 +36,13 @@ if _os.environ.get("TPUASR_DEVICE"):
             "jax_num_cpu_devices", int(_os.environ["TPUASR_CPU_DEVICES"])
         )
     _jax.config.update("jax_default_device", _os.environ["TPUASR_DEVICE"])
+
+# Persistent XLA compile cache (first TPU compiles of the unrolled
+# train step take minutes): TPUASR_COMPILE_CACHE=<dir>.
+if _os.environ.get("TPUASR_COMPILE_CACHE"):
+    import jax as _jax
+
+    _jax.config.update(
+        "jax_compilation_cache_dir", _os.environ["TPUASR_COMPILE_CACHE"]
+    )
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -109,21 +109,10 @@ def _dft_mats(n_fft: int) -> tuple[np.ndarray, np.ndarray]:
     return np.cos(ang).astype(np.float32), (-np.sin(ang)).astype(np.float32)
 
 
-def frame_signal(
-    waves: jnp.ndarray, lengths: jnp.ndarray, n_fft: int, hop: int
-) -> jnp.ndarray:
-    """(B, L) + per-utterance lengths -> (B, T, n_fft) overlapping frames.
-
-    Implements librosa's center=True reflect padding PER UTTERANCE under
-    static shapes: instead of physically padding (which would reflect a
-    short utterance into the batch's zero padding), the gather indices
-    themselves are reflected at 0 and at each utterance's true length.
-    A frame near the end of a short utterance therefore sees the same
-    mirrored samples it would if computed alone — batch padding cannot
-    leak into features (padding-invariance test).
-    """
+def _frame_gather(waves, lengths, n_fft, hop, t_max):
+    """General framing via reflected gather indices (exact librosa
+    center=True semantics per utterance, any n_fft/hop)."""
     half = n_fft // 2
-    t_max = num_frames(waves.shape[-1], hop)
     pos = (
         jnp.arange(t_max, dtype=jnp.int32)[:, None] * hop
         + jnp.arange(n_fft, dtype=jnp.int32)[None, :]
@@ -134,6 +123,59 @@ def frame_signal(
     pos = jnp.where(pos > right, 2 * right - pos, pos)  # reflect at length-1
     pos = jnp.clip(pos, 0, waves.shape[-1] - 1)
     return jnp.take_along_axis(waves[:, None, :], pos, axis=-1)
+
+
+def frame_signal(
+    waves: jnp.ndarray, lengths: jnp.ndarray, n_fft: int, hop: int
+) -> jnp.ndarray:
+    """(B, L) + per-utterance lengths -> (B, T, n_fft) overlapping frames.
+
+    Implements librosa's center=True reflect padding PER UTTERANCE under
+    static shapes: the left reflection is a static slice, the right
+    reflection happens at each utterance's true length (batch padding
+    cannot leak into features — padding-invariance test).
+
+    Fast path (the reference config, n_fft == 2*hop): frames are built
+    from hop-sized blocks with pure reshape/concat — frame t is
+    [block_{t-1} | block_t] after a one-block left reflect pad. Only
+    the single final frame of each utterance touches the data-dependent
+    right reflection, and it is fixed up with one (B, n_fft) gather.
+    A (B, T, n_fft) gather on TPU measured ~59 ms for a 32x5s batch;
+    this path makes framing negligible.
+    """
+    b, l = waves.shape
+    half = n_fft // 2
+    t_max = num_frames(l, hop)
+
+    if n_fft != 2 * hop or l % hop != 0:
+        return _frame_gather(waves, lengths, n_fft, hop, t_max)
+
+    # static left reflect (one block) + right zero block
+    left = waves[:, 1 : hop + 1][:, ::-1]
+    padded = jnp.concatenate(
+        [left, waves, jnp.zeros((b, hop), waves.dtype)], axis=1
+    )  # (B, L + 2*hop)
+    blocks = padded.reshape(b, l // hop + 2, hop)
+    frames = jnp.concatenate([blocks[:, :-1], blocks[:, 1:]], axis=-1)
+    frames = frames[:, :t_max]  # (B, T, n_fft)
+
+    # exact fixup of the one frame per utterance whose window crosses
+    # its true length (frame index len // hop)
+    t_last = jnp.minimum(lengths // hop, t_max - 1)  # (B,)
+    pos = (
+        t_last[:, None] * hop
+        + jnp.arange(n_fft, dtype=jnp.int32)[None, :]
+        - half
+    )
+    pos = jnp.abs(pos)
+    right = jnp.maximum(lengths[:, None] - 1, 0)
+    pos = jnp.where(pos > right, 2 * right - pos, pos)
+    pos = jnp.clip(pos, 0, l - 1)
+    last_frame = jnp.take_along_axis(waves, pos, axis=-1)  # (B, n_fft)
+    onehot = (
+        jnp.arange(t_max, dtype=jnp.int32)[None, :] == t_last[:, None]
+    )[:, :, None]
+    return jnp.where(onehot, last_frame[:, None, :], frames)
 
 
 def _spectrogram(frames: jnp.ndarray, cfg: FrontendConfig) -> jnp.ndarray:

@@ -82,11 +82,13 @@ def ctc_loss(
     z_shift2 = jnp.pad(z, ((0, 0), (2, 0)), constant_values=blank_id)[:, :s_max]
     allow_skip = (z != blank_id) & (z != z_shift2) & (s_idx >= 2)
 
-    emit_all = jnp.take_along_axis(
-        jnp.swapaxes(logprobs, 0, 1),  # (T, B, C)
-        jnp.broadcast_to(z[None], (t_max, b, s_max)),
-        axis=-1,
-    )  # (T, B, S): log P_t(z_s)
+    # emissions: log P_t(z_s) for every extended-label slot. A one-hot
+    # MXU contraction instead of a gather — per-element gathers are slow
+    # on TPU, matmuls are free at this size (C ~ 44, S ~ 2L+1).
+    z_onehot = jax.nn.one_hot(z, n_class, dtype=logprobs.dtype)  # (B, S, C)
+    emit_all = jnp.einsum(
+        "tbc,bsc->tbs", jnp.swapaxes(logprobs, 0, 1), z_onehot
+    )  # (T, B, S)
 
     alpha0 = jnp.full((b, s_max), LOG_EPS, jnp.float32)
     alpha0 = alpha0.at[:, 0].set(emit_all[0, :, 0])
@@ -110,7 +112,9 @@ def ctc_loss(
         alpha = jnp.where(valid_t[:, None], new, alpha)
         return alpha, None
 
-    alpha_t, _ = jax.lax.scan(step, alpha0, (emit_all[1:], frame_valid[1:]))
+    alpha_t, _ = jax.lax.scan(
+        step, alpha0, (emit_all[1:], frame_valid[1:]), unroll=8
+    )
 
     end = 2 * label_lengths  # index of final blank in z
     a_last = jnp.take_along_axis(alpha_t, end[:, None], axis=1)[:, 0]

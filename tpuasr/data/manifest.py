@@ -116,3 +116,47 @@ def merge_manifests(paths: list[str], out_path: str, ordered: bool = True):
         entries.sort(key=lambda e: e.duration)
     write_manifest(out_path, entries)
     return entries
+
+
+def main(argv=None) -> int:
+    """Manifest tool CLI (the reference shipped these as standalone
+    scripts under data/): create | merge | prune."""
+    import argparse
+
+    p = argparse.ArgumentParser(description="tpuasr manifest tools")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("create", help="scan a corpus dir for wav/txt pairs")
+    c.add_argument("corpus_dir")
+    c.add_argument("manifest")
+    c.add_argument("--wav-suffix", default=".wav")
+    c.add_argument("--txt-suffix", default=".txt")
+
+    m = sub.add_parser("merge", help="merge manifests, duration-sorted")
+    m.add_argument("manifests", nargs="+")
+    m.add_argument("--out", required=True)
+
+    r = sub.add_parser("prune", help="filter by min/max duration + sort")
+    r.add_argument("manifest")
+    r.add_argument("--out", required=True)
+    r.add_argument("--min-duration", type=float, default=None)
+    r.add_argument("--max-duration", type=float, default=None)
+
+    args = p.parse_args(argv)
+    if args.cmd == "create":
+        out = create_manifest(args.corpus_dir, args.manifest,
+                              args.wav_suffix, args.txt_suffix)
+        print(f"{len(out)} entries -> {args.manifest}")
+    elif args.cmd == "merge":
+        out = merge_manifests(args.manifests, args.out)
+        print(f"{len(out)} entries -> {args.out}")
+    else:
+        out = order_and_prune(read_manifest(args.manifest),
+                              args.min_duration, args.max_duration)
+        write_manifest(args.out, out)
+        print(f"{len(out)} entries -> {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
