@@ -1,0 +1,106 @@
+"""Training-loop integration tests: learning on a synthetic corpus via
+the real train() loop, and resume-equals-continuous-run (SURVEY.md §7)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tpuasr.audio.frontend import FrontendConfig
+from tpuasr.audio.io import save_audio
+from tpuasr.data.buckets import BucketSpec, make_buckets
+from tpuasr.data.loader import AudioBatchLoader
+from tpuasr.data.manifest import create_manifest, read_manifest
+from tpuasr.labels import Alphabet
+from tpuasr.model.ds2 import ModelConfig
+from tpuasr.train.checkpoint import load_checkpoint
+from tpuasr.train.loop import LoopConfig, train
+from tpuasr.train.step import TrainConfig
+
+MC = ModelConfig(n_classes=len(Alphabet().labels), hidden_size=32,
+                 hidden_layers=1, compute_dtype=jnp.float32)
+
+
+@pytest.fixture
+def corpus(tmp_path):
+    rng = np.random.RandomState(0)
+    texts = ["ABA", "BOB", "CACO", "DADO"]
+    for i, text in enumerate(texts):
+        n = int(16000 * (0.4 + 0.1 * i))
+        t = np.arange(n) / 16000.0
+        f0 = 150 + 80 * i
+        w = sum(np.sin(2 * np.pi * f0 * k * t) / k for k in range(1, 4))
+        w = (w / np.abs(w).max() * 0.7 + 0.02 * rng.randn(n)).astype(np.float32)
+        save_audio(str(tmp_path / f"u{i}.wav"), w, 16000)
+        (tmp_path / f"u{i}.txt").write_text(text)
+    m = str(tmp_path / "man.csv")
+    create_manifest(str(tmp_path), m)
+    return m
+
+
+def _loader(manifest, batch_size=4):
+    plan = make_buckets(read_manifest(manifest), batch_size, BucketSpec(),
+                        seed=1)
+    return AudioBatchLoader(plan, Alphabet())
+
+
+def test_loop_learns_and_checkpoints(corpus, tmp_path):
+    tc = TrainConfig(lr=3e-3, learning_anneal=1.0)
+    lc = LoopConfig(epochs=6, save_folder=str(tmp_path / "m"),
+                    model_path=str(tmp_path / "m" / "best.ckpt"),
+                    quiet=True, use_mesh=False)
+    pkg = train(MC, FrontendConfig(), tc, lc, _loader(corpus),
+                _loader(corpus), Alphabet())
+    assert len(pkg.loss_history) == 6
+    assert pkg.loss_history[-1] < pkg.loss_history[0]
+    assert (tmp_path / "m" / "tpuasr_6.ckpt").exists()
+    assert (tmp_path / "m" / "best.ckpt").exists()
+    loaded = load_checkpoint(str(tmp_path / "m" / "tpuasr_6.ckpt"))
+    assert loaded.epoch == 6
+    assert loaded.loss_history == pkg.loss_history
+
+
+def test_resume_equals_continuous(corpus, tmp_path):
+    tc = TrainConfig(lr=1e-3, learning_anneal=1.1)
+
+    lc_full = LoopConfig(epochs=4, save_folder=str(tmp_path / "full"),
+                         model_path=None, quiet=True, use_mesh=False)
+    pkg_full = train(MC, FrontendConfig(), tc, lc_full, _loader(corpus),
+                     None, Alphabet())
+
+    lc_a = LoopConfig(epochs=2, save_folder=str(tmp_path / "half"),
+                      model_path=None, quiet=True, use_mesh=False)
+    train(MC, FrontendConfig(), tc, lc_a, _loader(corpus), None, Alphabet())
+    lc_b = LoopConfig(epochs=4, save_folder=str(tmp_path / "resumed"),
+                      model_path=None, quiet=True, use_mesh=False)
+    pkg_res = train(MC, FrontendConfig(), tc, lc_b, _loader(corpus), None,
+                    Alphabet(),
+                    continue_from=str(tmp_path / "half" / "tpuasr_2.ckpt"))
+
+    assert pkg_res.epoch == pkg_full.epoch
+    flat_a = jax.tree.leaves(pkg_full.variables["params"])
+    flat_b = jax.tree.leaves(pkg_res.variables["params"])
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
+    # histories concatenate correctly
+    assert len(pkg_res.loss_history) == 4
+    np.testing.assert_allclose(pkg_res.loss_history[:2],
+                               pkg_full.loss_history[:2], rtol=1e-5)
+
+
+def test_finetune_resets_training_state(corpus, tmp_path):
+    tc = TrainConfig(lr=1e-3)
+    lc = LoopConfig(epochs=2, save_folder=str(tmp_path / "a"),
+                    model_path=None, quiet=True, use_mesh=False)
+    train(MC, FrontendConfig(), tc, lc, _loader(corpus), None, Alphabet())
+    lc2 = LoopConfig(epochs=1, save_folder=None, model_path=None,
+                     quiet=True, use_mesh=False)
+    pkg = train(MC, FrontendConfig(), tc, lc2, _loader(corpus), None,
+                Alphabet(),
+                continue_from=str(tmp_path / "a" / "tpuasr_2.ckpt"),
+                finetune=True)
+    # finetune restarts epochs/history
+    assert pkg.epoch == 1
+    assert len(pkg.loss_history) == 1

@@ -134,6 +134,7 @@ def make_train_step(model_cfg: ModelConfig, frontend_cfg: FrontendConfig,
         metrics = {
             "loss": loss,
             "grad_norm": grad_norm,
+            "param_norm": optax.global_norm(params),  # --log-params
             "n_ok": n_ok,
             "n_frames": jnp.sum(feat_lengths * valid),
         }
