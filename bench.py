@@ -30,7 +30,7 @@ WARMUP = 2
 ITERS = 10
 
 
-def main() -> None:
+def main(mode: str = "train") -> None:
     import jax
 
     # Persistent compile cache: the first TPU compile of the full train
@@ -54,8 +54,12 @@ def main() -> None:
     # Prefer the fused Pallas BiGRU kernel; fall back to lax.scan if the
     # kernel fails to compile on this runtime.
     rnn_impl = "pallas"
+    train_cfg = TrainConfig(ctc_impl="pallas")
     model_cfg = ModelConfig(n_classes=alphabet.size, rnn_impl=rnn_impl)
     state = init_train_state(model_cfg, train_cfg, jax.random.PRNGKey(0))
+    if mode == "infer":
+        _bench_infer(model_cfg, frontend_cfg, state)
+        return
     train_step = make_train_step(model_cfg, frontend_cfg, train_cfg)
 
     n = int(SECONDS * SAMPLE_RATE)
@@ -88,6 +92,7 @@ def main() -> None:
             _ = float(m["loss"])
     except Exception:
         rnn_impl = "scan"
+        train_cfg = TrainConfig()  # scan CTC too
         model_cfg = ModelConfig(n_classes=alphabet.size, rnn_impl=rnn_impl)
         state = init_train_state(model_cfg, train_cfg, jax.random.PRNGKey(0))
         train_step = make_train_step(model_cfg, frontend_cfg, train_cfg)
@@ -121,5 +126,55 @@ def main() -> None:
     print(json.dumps(result))
 
 
+def _bench_infer(model_cfg, frontend_cfg, state) -> None:
+    """Config-2 benchmark: batched greedy inference with the fused
+    frontend (frontend + model fwd + argmax/collapse on device)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpuasr.decode.greedy import greedy_best_path
+    from tpuasr.train.step import make_eval_step
+
+    eval_step = make_eval_step(model_cfg, frontend_cfg)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    n = int(SECONDS * SAMPLE_RATE)
+    rng = np.random.RandomState(0)
+    waves = jnp.asarray(rng.randn(BATCH, n).astype(np.float32) * 0.1)
+    wave_lengths = jnp.asarray(np.full((BATCH,), n, np.int32))
+
+    def one():
+        logits, ol = eval_step(variables, waves, wave_lengths)
+        ids, emit = greedy_best_path(logits, ol)
+        return emit
+
+    for _ in range(WARMUP):
+        emit = one()
+        _ = int(jnp.sum(emit))
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        emit = one()
+    _ = int(jnp.sum(emit))
+    dt = time.perf_counter() - t0
+
+    utt_per_sec = BATCH * ITERS / dt
+    result = {
+        "metric": "ds2_greedy_infer_utterances_per_sec_per_chip",
+        "value": round(utt_per_sec, 3),
+        "unit": "utt/s/chip",
+        "vs_baseline": round(utt_per_sec / REFERENCE_PROXY_UTT_PER_SEC, 3),
+        "extra": {
+            "batch_ms": round(1e3 * dt / ITERS, 2),
+            "infer_rtf": round(utt_per_sec * SECONDS, 1),
+            "batch": BATCH,
+            "utt_seconds": SECONDS,
+        },
+    }
+    print(json.dumps(result))
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+
+    main("infer" if "--mode" in sys.argv and "infer" in sys.argv else "train")

@@ -127,6 +127,56 @@ def ctc_loss(
     return -jnp.maximum(total, LOG_EPS)
 
 
+def ctc_loss_pallas(
+    logits: jnp.ndarray,
+    logit_lengths: jnp.ndarray,
+    labels: jnp.ndarray,
+    label_lengths: jnp.ndarray,
+    blank_id: int = 0,
+) -> jnp.ndarray:
+    """ctc_loss with the time loop as a Pallas kernel (tpuasr.ops.ctc):
+    alpha recursion fwd, beta recursion bwd, emission gradients chained
+    through the (differentiable) one-hot emission contraction."""
+    from tpuasr.ops.ctc import LOG_EPS as _LE, ctc_loss_from_emit
+
+    logits = logits.astype(jnp.float32)
+    b, t_max, n_class = logits.shape
+    l_max = labels.shape[1]
+    s_max = 2 * l_max + 1
+
+    logprobs = jax.nn.log_softmax(logits, axis=-1)
+    z = jnp.full((b, s_max), blank_id, dtype=labels.dtype)
+    z = z.at[:, 1::2].set(labels)
+    s_idx = jnp.arange(s_max, dtype=jnp.int32)[None, :]
+    valid_s = (s_idx < (2 * label_lengths[:, None] + 1)).astype(jnp.float32)
+    z_shift2 = jnp.pad(z, ((0, 0), (2, 0)), constant_values=blank_id)[:, :s_max]
+    allow_skip = (
+        (z != blank_id) & (z != z_shift2) & (s_idx >= 2)
+    ).astype(jnp.float32)
+
+    z_onehot = jax.nn.one_hot(z, n_class, dtype=logprobs.dtype)
+    emit = jnp.einsum("tbc,bsc->tbs", jnp.swapaxes(logprobs, 0, 1), z_onehot)
+
+    has_label = label_lengths > 0
+    init_mask = jnp.full((b, s_max), _LE, jnp.float32)
+    init_mask = init_mask.at[:, 0].set(0.0)
+    init_mask = init_mask.at[:, 1].set(jnp.where(has_label, 0.0, _LE))
+
+    frame_valid = (
+        jnp.arange(t_max, dtype=jnp.int32)[:, None] < logit_lengths[None, :]
+    ).astype(jnp.float32)
+
+    end = 2 * label_lengths
+    end_mask = (
+        (s_idx == end[:, None])
+        | ((s_idx == jnp.maximum(end - 1, 0)[:, None]) & has_label[:, None])
+    ).astype(jnp.float32)
+
+    return ctc_loss_from_emit(
+        emit, init_mask, allow_skip, valid_s, frame_valid, end_mask
+    )
+
+
 def ctc_loss_mean(
     logits, logit_lengths, labels, label_lengths, blank_id: int = 0
 ):

@@ -47,6 +47,7 @@ class TrainConfig:
     nesterov: bool = True
     max_norm: float = 400.0
     learning_anneal: float = 1.1
+    ctc_impl: str = "scan"  # "scan" | "pallas" (tpuasr.ops.ctc)
 
     def lr_at_epoch(self, epoch: int) -> float:
         return self.lr / (self.learning_anneal ** epoch)
@@ -85,6 +86,10 @@ def make_train_step(model_cfg: ModelConfig, frontend_cfg: FrontendConfig,
     label_lengths, valid, lr, rng) -> (state, metrics)."""
     model = DeepSpeech2(model_cfg)
     tx = make_optimizer(train_cfg)
+    if train_cfg.ctc_impl == "pallas":
+        from tpuasr.ctc.loss import ctc_loss_pallas as loss_impl
+    else:
+        loss_impl = ctc_loss
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, waves, wave_lengths, labels,
@@ -105,7 +110,7 @@ def make_train_step(model_cfg: ModelConfig, frontend_cfg: FrontendConfig,
                 {"params": params, "batch_stats": state.batch_stats},
                 feats, feat_lengths, train=True, mutable=["batch_stats"],
             )
-            per_utt = ctc_loss(logits, out_lengths, labels, label_lengths)
+            per_utt = loss_impl(logits, out_lengths, labels, label_lengths)
             ok = (
                 valid
                 & (label_lengths <= out_lengths)
