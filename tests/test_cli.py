@@ -1,0 +1,98 @@
+"""CLI wiring smoke tests (flag surface parity, SURVEY.md §5.6)."""
+
+import jax.numpy as jnp
+import pytest
+
+from tpuasr.cli.train import build_parser
+from tpuasr.cli.opts import (
+    alphabet_from,
+    apply_runtime_overrides,
+    frontend_config_from,
+    model_config_from,
+)
+
+
+def test_train_parser_reference_flags():
+    p = build_parser()
+    args = p.parse_args([
+        "--train-manifest", "t.csv", "--val-manifest", "v.csv",
+        "--sample-rate", "16000", "--window-size", "0.02",
+        "--window-stride", "0.01", "--window", "hamming",
+        "--hidden-size", "800", "--hidden-layers", "5",
+        "--rnn-type", "gru", "--epochs", "70", "--batch-size", "32",
+        "--lr", "3e-4", "--momentum", "0.9", "--max-norm", "400",
+        "--learning-anneal", "1.1", "--augment",
+        "--noise-dir", "/n", "--noise-prob", "0.4",
+        "--noise-min", "0.0", "--noise-max", "0.5",
+        "--no-shuffle", "--no-sortaGrad", "--checkpoint",
+        "--checkpoint-per-batch", "100", "--continue-from", "x.ckpt",
+        "--finetune", "--save-folder", "m/", "--model-path", "m/best.ckpt",
+        "--tensorboard", "--log-dir", "logs/", "--log-params", "--visdom",
+        "--seed", "1", "--cuda", "--world-size", "2", "--rank", "0",
+        "--dist-url", "h:1", "--dist-backend", "ici",
+        "--rnn-impl", "pallas", "--ctc-impl", "pallas",
+        "--min-duration", "1.0", "--max-duration", "15.0",
+        "--spec-augment", "--profile-dir", "/tmp/tr",
+    ])
+    assert args.hidden_size == 800
+    assert args.sorta_grad is False and args.shuffle is False
+    assert args.rnn_impl == "pallas"
+
+    alphabet = alphabet_from(args)
+    fc = frontend_config_from(args)
+    mc = model_config_from(args, alphabet, fc.n_features)
+    assert mc.n_classes == alphabet.size
+    assert mc.rnn_impl == "pallas"
+    assert fc.n_fft == 320 and fc.hop == 160
+
+
+def test_no_bidirectional_flag():
+    p = build_parser()
+    args = p.parse_args(["--train-manifest", "t.csv", "--no-bidirectional"])
+    assert args.bidirectional is False
+
+
+def test_runtime_override():
+    import argparse
+
+    from tpuasr.model.ds2 import ModelConfig
+
+    cfg = ModelConfig(rnn_impl="pallas")
+    ns = argparse.Namespace(rnn_impl="scan")
+    out = apply_runtime_overrides(cfg, ns)
+    assert out.rnn_impl == "scan"
+    ns2 = argparse.Namespace(rnn_impl=None)
+    assert apply_runtime_overrides(cfg, ns2).rnn_impl == "pallas"
+
+
+def test_transcribe_test_parsers():
+    from tpuasr.cli.test import main as test_main
+    from tpuasr.cli.transcribe import main as tr_main
+
+    with pytest.raises(SystemExit):
+        tr_main(["--help"])
+    with pytest.raises(SystemExit):
+        test_main(["--help"])
+
+
+def test_train_lm_cli(tmp_path):
+    from tpuasr.cli.train_lm import main as lm_main
+
+    txt = tmp_path / "corpus.txt"
+    txt.write_text("ola mundo\nbom dia mundo\n")
+    out = str(tmp_path / "lm.arpa")
+    rc = lm_main(["--text", str(txt), "--order", "2", "--out", out])
+    assert rc == 0
+    from tpuasr.decode.lm import ArpaLM
+
+    lm = ArpaLM.load(out)
+    assert lm.order == 2
+    assert "MUNDO" in lm.vocab
+
+    # char-level variant
+    out2 = str(tmp_path / "lm_char.arpa")
+    rc = lm_main(["--text", str(txt), "--order", "3", "--out", out2,
+                  "--char-level"])
+    assert rc == 0
+    lm2 = ArpaLM.load(out2)
+    assert "<sp>" in lm2.vocab and "O" in lm2.vocab

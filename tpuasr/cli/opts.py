@@ -37,6 +37,8 @@ def add_model_args(p: argparse.ArgumentParser) -> None:
                    help="JSON list of characters; default PT-BR alphabet")
     p.add_argument("--compute-dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
+    p.add_argument("--rnn-impl", default="scan", choices=["scan", "pallas"],
+                   help="recurrent time loop: lax.scan or fused Pallas")
 
 
 def add_decoder_args(p: argparse.ArgumentParser) -> None:
@@ -71,11 +73,27 @@ def model_config_from(args, alphabet: Alphabet,
         bidirectional=args.bidirectional,
         compute_dtype=jnp.bfloat16 if args.compute_dtype == "bfloat16"
         else jnp.float32,
+        rnn_impl=getattr(args, "rnn_impl", "scan"),
     )
 
 
 def alphabet_from(args) -> Alphabet:
     return load_labels(args.labels_path)
+
+
+def add_runtime_args(p: argparse.ArgumentParser) -> None:
+    """Flags that override runtime (non-weight) choices stored in a
+    checkpoint: kernel implementation selection."""
+    p.add_argument("--rnn-impl", default=None, choices=["scan", "pallas"],
+                   help="override the checkpoint's RNN implementation")
+
+
+def apply_runtime_overrides(model_cfg: ModelConfig, args) -> ModelConfig:
+    import dataclasses
+
+    if getattr(args, "rnn_impl", None):
+        model_cfg = dataclasses.replace(model_cfg, rnn_impl=args.rnn_impl)
+    return model_cfg
 
 
 def build_decoder(args, alphabet: Alphabet):

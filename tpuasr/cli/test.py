@@ -15,7 +15,12 @@ import argparse
 import json
 import sys
 
-from tpuasr.cli.opts import add_decoder_args, build_decoder
+from tpuasr.cli.opts import (
+    add_decoder_args,
+    add_runtime_args,
+    apply_runtime_overrides,
+    build_decoder,
+)
 from tpuasr.data.buckets import BucketSpec, make_buckets
 from tpuasr.data.loader import AudioBatchLoader
 from tpuasr.data.manifest import order_and_prune, read_manifest
@@ -36,6 +41,7 @@ def main(argv=None) -> int:
                    help="write per-utterance hyp/ref JSONL here")
     p.add_argument("--verbose", action="store_true")
     add_decoder_args(p)
+    add_runtime_args(p)
     args = p.parse_args(argv)
 
     pkg = load_checkpoint(args.model_path)
@@ -44,7 +50,8 @@ def main(argv=None) -> int:
         "params": pkg.variables["params"],
         "batch_stats": pkg.variables["batch_stats"],
     }
-    eval_step = make_eval_step(pkg.model_config, pkg.frontend_config)
+    model_cfg = apply_runtime_overrides(pkg.model_config, args)
+    eval_step = make_eval_step(model_cfg, pkg.frontend_config)
     decoder = build_decoder(args, alphabet)
 
     entries = order_and_prune(read_manifest(args.test_manifest))

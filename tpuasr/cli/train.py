@@ -48,6 +48,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--momentum", type=float, default=0.9)
     p.add_argument("--max-norm", type=float, default=400.0)
     p.add_argument("--learning-anneal", type=float, default=1.1)
+    p.add_argument("--ctc-impl", default="scan", choices=["scan", "pallas"])
     # curriculum / duration handling
     p.add_argument("--no-shuffle", dest="shuffle", action="store_false",
                    default=True)
@@ -106,7 +107,7 @@ def main(argv=None) -> int:
     model_cfg = model_config_from(args, alphabet, frontend_cfg.n_features)
     train_cfg = TrainConfig(
         lr=args.lr, momentum=args.momentum, max_norm=args.max_norm,
-        learning_anneal=args.learning_anneal,
+        learning_anneal=args.learning_anneal, ctc_impl=args.ctc_impl,
     )
     loop_cfg = LoopConfig(
         epochs=args.epochs,

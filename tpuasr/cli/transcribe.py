@@ -18,7 +18,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpuasr.audio.io import load_audio
-from tpuasr.cli.opts import add_decoder_args, build_decoder
+from tpuasr.cli.opts import (
+    add_decoder_args,
+    add_runtime_args,
+    apply_runtime_overrides,
+    build_decoder,
+)
 from tpuasr.model.ds2 import DeepSpeech2
 from tpuasr.train.checkpoint import load_checkpoint
 from tpuasr.train.step import make_eval_step
@@ -31,6 +36,7 @@ def main(argv=None) -> int:
     p.add_argument("--offsets", action="store_true",
                    help="print per-character frame offsets")
     add_decoder_args(p)
+    add_runtime_args(p)
     args = p.parse_args(argv)
 
     pkg = load_checkpoint(args.model_path)
@@ -39,7 +45,8 @@ def main(argv=None) -> int:
         "params": pkg.variables["params"],
         "batch_stats": pkg.variables["batch_stats"],
     }
-    eval_step = make_eval_step(pkg.model_config, pkg.frontend_config)
+    model_cfg = apply_runtime_overrides(pkg.model_config, args)
+    eval_step = make_eval_step(model_cfg, pkg.frontend_config)
     decoder = build_decoder(args, alphabet)
 
     wave = load_audio(args.audio_path,

@@ -362,7 +362,7 @@ def pack_lm_tables(char_lm, alphabet: Alphabet):
     def ids_of(toks):
         out = []
         for t in toks:
-            if t == " ":
+            if t in (" ", "<sp>"):
                 out.append(alphabet.space_id)
             else:
                 enc = alphabet.encode(t)
