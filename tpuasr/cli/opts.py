@@ -42,7 +42,12 @@ def add_model_args(p: argparse.ArgumentParser) -> None:
 
 
 def add_decoder_args(p: argparse.ArgumentParser) -> None:
-    p.add_argument("--decoder", default="greedy", choices=["greedy", "beam"])
+    p.add_argument(
+        "--decoder", default="greedy",
+        choices=["greedy", "beam", "beam-device", "beam-native"],
+        help="greedy | beam (host Python, word LM) | beam-device "
+        "(on-device, char LM) | beam-native (host C++, word LM)",
+    )
     p.add_argument("--lm-path", default=None,
                    help="ARPA or binary n-gram LM for beam shallow fusion")
     p.add_argument("--alpha", type=float, default=0.8, help="LM weight")
@@ -97,17 +102,31 @@ def apply_runtime_overrides(model_cfg: ModelConfig, args) -> ModelConfig:
 
 
 def build_decoder(args, alphabet: Alphabet):
+    kw = dict(
+        lm_path=args.lm_path,
+        alpha=args.alpha,
+        beta=args.beta,
+        beam_width=args.beam_width,
+        cutoff_top_n=args.cutoff_top_n,
+        cutoff_prob=args.cutoff_prob,
+    )
     if args.decoder == "beam":
         from tpuasr.decode.beam_host import BeamCTCDecoder
 
-        return BeamCTCDecoder(
-            alphabet,
-            lm_path=args.lm_path,
-            alpha=args.alpha,
-            beta=args.beta,
-            beam_width=args.beam_width,
-            cutoff_top_n=args.cutoff_top_n,
-            cutoff_prob=args.cutoff_prob,
+        return BeamCTCDecoder(alphabet, **kw)
+    if args.decoder == "beam-native":
+        from tpuasr.decode.native import NativeBeamDecoder
+
+        return NativeBeamDecoder(alphabet, num_processes=args.lm_workers,
+                                 **kw)
+    if args.decoder == "beam-device":
+        from tpuasr.decode.beam import DeviceBeamDecoder
+        from tpuasr.decode.lm import ArpaLM
+
+        char_lm = ArpaLM.load(args.lm_path) if args.lm_path else None
+        return DeviceBeamDecoder(
+            alphabet, beam_width=args.beam_width, char_lm=char_lm,
+            alpha=args.alpha, beta=args.beta,
         )
     from tpuasr.decode.greedy import GreedyDecoder
 
