@@ -69,7 +69,8 @@ class ModelConfig:
     # not dispatch-bound) while inflating compile time ~8x, so default 1.
     rnn_unroll: int = 1
     # "scan" (lax.scan) | "pallas" (fused VMEM-resident kernel,
-    # tpuasr.ops.gru — bidirectional GRU only, falls back otherwise).
+    # tpuasr.ops.gru) | "pallas2" (gate-major kernel, tpuasr.ops.gru2)
+    # — kernels are bidirectional-GRU only, other configs fall back.
     rnn_impl: str = "scan"
 
     def to_dict(self) -> dict:
@@ -337,6 +338,29 @@ class BiRecurrentCore(nn.Module):
         b_h = self.param("recurrent_bias", nn.initializers.zeros,
                          (2, g * h), self.param_dtype)
 
+        mask_t = jnp.moveaxis(mask, 2, 0)  # (T, 2, B)
+
+        if self.impl == "pallas2" and self.rnn_type == "gru":
+            # gate-major kernel: no per-step relayouts (tpuasr.ops.gru2)
+            from tpuasr.ops.gru2 import bigru_pallas2
+
+            xg_g = (
+                jnp.einsum(
+                    "dbti,digh->tdgbh",
+                    xs.astype(dt),
+                    w_x.reshape(2, h_in, g, h).astype(dt),
+                )
+                + b_x.reshape(2, g, h).astype(dt)[None, :, :, None, :]
+            )  # (T, 2, 3, B, H)
+            w_h_g = jnp.transpose(w_h.reshape(2, h, g, h), (0, 2, 1, 3))
+            ys = bigru_pallas2(
+                xg_g, w_h_g.astype(dt),
+                b_h.reshape(2, g, h).astype(jnp.float32),
+                mask_t.astype(jnp.float32),
+            )  # (T, 2, B, H)
+            ys = jnp.moveaxis(ys, 0, 2)
+            return ys[0], ys[1]
+
         xg = (
             jnp.einsum("dbti,dig->dbtg", xs.astype(dt), w_x.astype(dt))
             + b_x.astype(dt)[:, None, None, :]
@@ -345,7 +369,6 @@ class BiRecurrentCore(nn.Module):
         b_h_c = b_h.astype(dt)[:, None, :]
 
         xg_t = jnp.moveaxis(xg, 2, 0)  # (T, 2, B, G*H)
-        mask_t = jnp.moveaxis(mask, 2, 0)  # (T, 2, B)
 
         if self.impl == "pallas" and self.rnn_type == "gru":
             from tpuasr.ops.gru import bigru_pallas
