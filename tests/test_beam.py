@@ -115,6 +115,141 @@ def test_beam_ctc_decoder_api():
     assert all(isinstance(t, str) for t in texts)
 
 
+def test_device_word_lm_matches_host():
+    """Word-level shallow fusion on device vs the host oracle: same
+    top-1 text AND total score (CTC mass + alpha*LM + beta bonuses,
+    including the final partial-word close) on randomized inputs."""
+    rng = np.random.RandomState(3)
+    corpus = ["AB C AB", "C AB", "AB AB C", "C C AB", "AB"]
+    lm = train_ngram(corpus, order=2)
+
+    for trial in range(4):
+        t = int(rng.randint(6, 14))
+        logits = rng.randn(1, t, 5).astype(np.float32) * 2
+        lengths = np.array([t], np.int32)
+        logprobs = np.asarray(jax.nn.log_softmax(jnp.asarray(logits), -1))
+
+        dev = DeviceBeamDecoder(ABC, beam_width=8, word_lm=lm,
+                                alpha=1.2, beta=0.5)
+        store, toff, blen, scores = dev._run(jnp.asarray(logits),
+                                             jnp.asarray(lengths))
+        got_text = ABC.decode(store[0, 0, : blen[0, 0]]).strip()
+        # host applies alpha*LN10*score_word(log10); the device packs
+        # natural-log values and applies alpha — same effective weight.
+        res = prefix_beam_search(logprobs[0], ABC, beam_width=8, lm=lm,
+                                 alpha=1.2, beta=0.5)
+        assert got_text == res[0][0].strip(), (trial, got_text, res[:3])
+        np.testing.assert_allclose(scores[0, 0], res[0][1],
+                                   rtol=1e-3, atol=1e-3)
+
+
+def test_device_cutoffs_match_host():
+    """cutoff_top_n / cutoff_prob pruning parity with the host oracle."""
+    rng = np.random.RandomState(4)
+    for trial in range(4):
+        t = int(rng.randint(5, 12))
+        logits = rng.randn(1, t, 5).astype(np.float32) * 2.5
+        logprobs = np.asarray(jax.nn.log_softmax(jnp.asarray(logits), -1))
+        dev = DeviceBeamDecoder(ABC, beam_width=8, cutoff_top_n=3,
+                                cutoff_prob=0.92)
+        got = dev.decode(jnp.asarray(logits), jnp.asarray([t]))
+        res = prefix_beam_search(logprobs[0], ABC, beam_width=8,
+                                 cutoff_top_n=3, cutoff_prob=0.92)
+        assert got[0].strip() == res[0][0].strip(), (trial, got, res[:3])
+
+
+def test_device_nbest_and_offsets():
+    """n-best output is deduped/best-first; offsets index the emitting
+    frames of the decoded string."""
+    probs = np.full((4, 5), 1e-6)
+    probs[0, 0] = 1.0  # blank
+    probs[1, 1] = 0.9; probs[1, 4] = 0.1  # A (vs C)
+    probs[2, 0] = 1.0  # blank
+    probs[3, 2] = 1.0  # B
+    lp = np.log(probs / probs.sum(-1, keepdims=True)).astype(np.float32)
+    dev = DeviceBeamDecoder(ABC, beam_width=4)
+    texts, offsets = dev.decode(jnp.asarray(lp[None]), jnp.asarray([4]),
+                                return_offsets=True)
+    assert texts[0] == "AB"
+    assert offsets[0].tolist() == [1, 3]
+    nbest = dev.decode_nbest(jnp.asarray(lp[None]), jnp.asarray([4]))
+    assert nbest[0][0][0] == "AB"
+    assert len({t for t, _, _ in nbest[0]}) == len(nbest[0])
+    scores = [s for _, s, _ in nbest[0]]
+    assert scores == sorted(scores, reverse=True)
+    assert "CB" in [t for t, _, _ in nbest[0]]
+
+
+def test_char_lm_device_scores_match_arpa():
+    """Randomized parity: the hashed device char-LM (backoff chain over
+    open-addressed tables) reproduces ArpaLM.score_word for in-vocab
+    chars across context lengths 0..order-1."""
+    from tpuasr.decode.beam import _char_lm_scores, pack_lm_tables
+
+    lines = ["A B C A B", "B C A", "A B A B C", "C A B", "B B C A"]
+    lm = train_ngram(lines, order=3)
+    tables = pack_lm_tables(lm, ABC)
+    ln10 = math.log(10.0)
+    vocab_ids = [1, 2, 4]  # A, B, C
+    k_ctx = tables.order - 1
+    rng = np.random.RandomState(5)
+    ctxs = []
+    for n_ctx in [0, 1, 2, 2, 1, 0, 2]:
+        real = [int(rng.choice(vocab_ids)) for _ in range(n_ctx)]
+        ctxs.append([0] * (k_ctx - n_ctx) + real)  # zero-padded like the beam
+    dev = np.asarray(_char_lm_scores(tables, jnp.asarray(ctxs, jnp.int32), 5))
+    for w, ctx in enumerate(ctxs):
+        host_ctx = tuple(ABC.labels[i] for i in ctx if i != 0)
+        for c in vocab_ids:
+            want = lm.score_word(host_ctx, ABC.labels[c]) * ln10
+            np.testing.assert_allclose(
+                dev[w, c], want, rtol=1e-4, atol=1e-4,
+                err_msg=f"ctx={host_ctx} char={ABC.labels[c]}"
+            )
+
+
+def test_pack_tables_never_drop():
+    """Adversarially dense LMs must pack with zero dropped entries —
+    every n-gram findable within the device probe budget."""
+    from tpuasr.decode.beam import (
+        pack_word_lm_tables, word_token_hash, _np_fold_tokens,
+    )
+
+    rng = np.random.RandomState(6)
+    words = set()
+    while len(words) < 300:
+        n = rng.randint(1, 6)
+        words.add("".join("ABC"[rng.randint(3)] for _ in range(n)))
+    lines = [
+        " ".join(rng.choice(sorted(words), size=rng.randint(2, 6)))
+        for _ in range(200)
+    ]
+    lm = train_ngram(lines, order=2)
+    tables = pack_word_lm_tables(lm, ABC)
+    n_checked = 0
+    for k, table in enumerate(lm.ngrams):
+        k1 = np.asarray(tables.keys1[k])
+        k2 = np.asarray(tables.keys2[k])
+        cap = len(k1)
+        for toks, _ in table.items():
+            pairs = [word_token_hash(t, ABC) for t in toks]
+            if any(p is None for p in pairs):
+                continue
+            h1, h2 = _np_fold_tokens(pairs)
+            if h1 == 0 and h2 == 0:
+                continue
+            slot = int(h1 % np.uint32(cap))
+            found = False
+            for _ in range(tables.n_probes):
+                if k1[slot] == h1 and k2[slot] == h2:
+                    found = True
+                    break
+                slot = (slot + 1) % cap
+            assert found, (k, toks)
+            n_checked += 1
+    assert n_checked > 400  # unigrams + bigrams actually exercised
+
+
 def test_device_beam_with_char_lm():
     """Char-LM fusion disambiguates same-length alternatives: 'AB' vs
     'CB' with C slightly ahead acoustically; the LM only knows A-B."""

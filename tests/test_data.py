@@ -107,6 +107,45 @@ def test_loader_batches(corpus):
     assert sizes == [1, 3]
 
 
+def test_loader_propagates_producer_errors(corpus, tmp_path):
+    """An IO error on the producer thread must raise in the consumer,
+    not silently end the epoch early (round-1 weakness: truncated
+    epochs looked like success)."""
+    import os
+
+    tmp_path, entries = corpus
+    m = str(tmp_path / "man.csv")
+    create_manifest(str(tmp_path), m)
+    plan = make_buckets(read_manifest(m), batch_size=1)
+    os.remove(plan.entries[2].wav_path)  # corrupt mid-epoch
+    loader = AudioBatchLoader(plan, Alphabet())
+    with pytest.raises(Exception):
+        list(loader.epoch(0))
+
+
+def test_loader_overflow_warns_and_errors(corpus):
+    """Utterances exceeding the bucket wave/label caps must warn (or
+    raise with on_overflow='error'), never truncate silently."""
+    import warnings as _warnings
+
+    tmp_path, entries = corpus
+    m = str(tmp_path / "man.csv")
+    create_manifest(str(tmp_path), m)
+    # A bucket spec far too small for the corpus forces overflow.
+    tiny = BucketSpec(seconds=(0.1,))
+    plan = make_buckets(read_manifest(m), batch_size=4, spec=tiny)
+    loader = AudioBatchLoader(plan, Alphabet())
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        batches = list(loader.epoch(0))
+    assert batches, "epoch still yields batches under 'warn'"
+    assert any("overflow" in str(w.message) for w in caught)
+
+    strict = AudioBatchLoader(plan, Alphabet(), on_overflow="error")
+    with pytest.raises(ValueError, match="overflow"):
+        list(strict.epoch(0))
+
+
 def test_bucket_label_cap():
     spec = BucketSpec()
     for i in range(spec.n_buckets):

@@ -66,3 +66,32 @@ def test_dryrun_multichip_entrypoint():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_dryrun_multichip_fresh_process():
+    """The driver runs dryrun_multichip in a bare interpreter with NO
+    conftest — the entry module alone must bootstrap the CPU mesh
+    without initializing the default (axon TPU) backend, which crashed
+    round 1 on a libtpu version mismatch (MULTICHIP_r01 ok=false).
+    Exercise that exact path: fresh subprocess, no pytest, no conftest.
+    """
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    # Keep the axon site dir (required for jax import here) AND the repo.
+    parts = ["/root/repo"] + [p for p in env.get("PYTHONPATH", "").split(":") if p]
+    env["PYTHONPATH"] = ":".join(dict.fromkeys(parts))
+    code = (
+        "import __graft_entry__ as ge; ge.dryrun_multichip(8); print('DRYRUN_OK')"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, timeout=600, env=env, cwd="/root/repo",
+    )
+    assert proc.returncode == 0, (
+        f"dryrun_multichip(8) failed in fresh process:\n"
+        f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr[-4000:]}"
+    )
+    assert "DRYRUN_OK" in proc.stdout

@@ -37,7 +37,7 @@ def add_model_args(p: argparse.ArgumentParser) -> None:
                    help="JSON list of characters; default PT-BR alphabet")
     p.add_argument("--compute-dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
-    p.add_argument("--rnn-impl", default="scan", choices=["scan", "pallas"],
+    p.add_argument("--rnn-impl", default="scan", choices=["scan", "pallas", "pallas2"],
                    help="recurrent time loop: lax.scan or fused Pallas")
 
 
@@ -56,6 +56,11 @@ def add_decoder_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--cutoff-top-n", type=int, default=40)
     p.add_argument("--cutoff-prob", type=float, default=1.0)
     p.add_argument("--lm-workers", type=int, default=1)
+    p.add_argument(
+        "--device-lm-level", default="word", choices=["word", "char"],
+        help="beam-device only: fuse --lm-path as a word n-gram "
+        "(ctcdecode semantics, default) or a char n-gram",
+    )
 
 
 def frontend_config_from(args) -> FrontendConfig:
@@ -89,7 +94,7 @@ def alphabet_from(args) -> Alphabet:
 def add_runtime_args(p: argparse.ArgumentParser) -> None:
     """Flags that override runtime (non-weight) choices stored in a
     checkpoint: kernel implementation selection."""
-    p.add_argument("--rnn-impl", default=None, choices=["scan", "pallas"],
+    p.add_argument("--rnn-impl", default=None, choices=["scan", "pallas", "pallas2"],
                    help="override the checkpoint's RNN implementation")
 
 
@@ -121,12 +126,16 @@ def build_decoder(args, alphabet: Alphabet):
                                  **kw)
     if args.decoder == "beam-device":
         from tpuasr.decode.beam import DeviceBeamDecoder
-        from tpuasr.decode.lm import ArpaLM
+        from tpuasr.decode.lm import load_lm
 
-        char_lm = ArpaLM.load(args.lm_path) if args.lm_path else None
+        lm = load_lm(args.lm_path) if args.lm_path else None
+        level = getattr(args, "device_lm_level", "word")
         return DeviceBeamDecoder(
-            alphabet, beam_width=args.beam_width, char_lm=char_lm,
+            alphabet, beam_width=args.beam_width,
+            char_lm=lm if level == "char" else None,
+            word_lm=lm if level == "word" else None,
             alpha=args.alpha, beta=args.beta,
+            cutoff_top_n=args.cutoff_top_n, cutoff_prob=args.cutoff_prob,
         )
     from tpuasr.decode.greedy import GreedyDecoder
 

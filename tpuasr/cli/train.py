@@ -82,6 +82,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile-dir", default=None,
                    help="capture a JAX device trace of steps 10-15")
     p.add_argument("--quiet", action="store_true")
+    p.add_argument("--sync-every", type=int, default=10,
+                   help="materialize device metrics every N steps (1 = "
+                   "reference-style per-iteration readout)")
     p.add_argument("--cuda", action="store_true",
                    help="accepted for compatibility (device = TPU/XLA)")
     # distributed (multi-host)
@@ -119,6 +122,7 @@ def main(argv=None) -> int:
         tensorboard=args.tensorboard,
         quiet=args.quiet,
         profile_dir=args.profile_dir,
+        sync_every=args.sync_every,
     )
 
     spec = BucketSpec(sample_rate=args.sample_rate)

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import warnings
 from dataclasses import dataclass
 
 import numpy as np
@@ -58,6 +59,7 @@ class AudioBatchLoader:
         prefetch: int = 2,
         rank: int = 0,
         world: int = 1,
+        on_overflow: str = "warn",  # "warn" | "error" — utterance exceeds bucket caps
     ):
         self.plan = plan
         self.alphabet = alphabet
@@ -65,6 +67,20 @@ class AudioBatchLoader:
         self.prefetch = prefetch
         self.rank = rank
         self.world = world
+        if on_overflow not in ("warn", "error"):
+            raise ValueError(f"on_overflow must be 'warn' or 'error', got {on_overflow!r}")
+        self.on_overflow = on_overflow
+
+    def _overflow(self, kind: str, path: str, have: int, cap: int) -> None:
+        msg = (
+            f"{kind} overflow for {path}: {have} > bucket cap {cap} — "
+            f"truncating corrupts CTC supervision; prune overlong "
+            f"utterances from the manifest (--max-duration) or widen the "
+            f"bucket spec."
+        )
+        if self.on_overflow == "error":
+            raise ValueError(msg)
+        warnings.warn(msg, stacklevel=3)
 
     def _make_batch(self, pb: BatchPlanEntry) -> Batch:
         spec = self.plan.spec
@@ -85,11 +101,16 @@ class AudioBatchLoader:
         for j, i in enumerate(idx):
             e = self.plan.entries[i]
             w = load_audio(e.wav_path, expected_sample_rate=self.sample_rate)
+            if len(w) > l_bucket:
+                self._overflow("wave", e.wav_path, len(w), l_bucket)
             n = min(len(w), l_bucket)
             waves[j, :n] = w[:n]
             wave_lengths[j] = n
             text = e.read_transcript()
-            ids = self.alphabet.encode(text)[:l_cap]
+            ids = self.alphabet.encode(text)
+            if len(ids) > l_cap:
+                self._overflow("label", e.wav_path, len(ids), l_cap)
+                ids = ids[:l_cap]
             labels[j, : len(ids)] = ids
             label_lengths[j] = len(ids)
             texts.append(text)
@@ -107,8 +128,9 @@ class AudioBatchLoader:
             try:
                 for pb in schedule:
                     q.put(self._make_batch(pb))
-            finally:
                 q.put(stop)
+            except BaseException as exc:  # propagate — never end the epoch silently
+                q.put(exc)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -116,6 +138,8 @@ class AudioBatchLoader:
             item = q.get()
             if item is stop:
                 break
+            if isinstance(item, BaseException):
+                raise item
             yield item
 
     def num_batches(self, epoch: int) -> int:

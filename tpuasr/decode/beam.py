@@ -1,10 +1,11 @@
-"""On-device vectorized CTC prefix beam search (+ char n-gram fusion).
+"""On-device vectorized CTC prefix beam search (+ n-gram LM fusion).
 
 TPU-native replacement for the reference's ctcdecode C++ CPU thread
-pool (SURVEY.md §3.2): the whole batch decodes in ONE jitted
-`lax.scan` over time — beams are a fixed-width tensor dimension, so
-every step is dense top-k / gather / logsumexp work on the VPU, with
-no host round-trips until the final string readout.
+pool (SURVEY.md §3.2, ref:decoder.py BeamCTCDecoder): the whole batch
+decodes in ONE jitted `lax.scan` over time — beams are a fixed-width
+tensor dimension, so every step is dense top-k / gather / logsumexp
+work on the VPU, with no host round-trips until the final string
+readout.
 
 Algorithm (Hannun-style prefix beam search, log-space):
   per beam: (log_pb, log_pnb) for ending-in-blank / non-blank,
@@ -19,16 +20,30 @@ kept pool — mass outside the top-4W that would merge into a kept
 prefix is negligible and this bound is the standard device-side
 approximation), then the top W survive.
 
-Optional shallow fusion with a character-level n-gram LM: device-
-resident hashed tables (tpuasr.decode.lm.HashedNGramLM) probed by
-rolling context hashes — `alpha * log P_lm(c | last chars)` is added
-at every extension, `beta` per space (word bonus). Word-level LM
-fusion parity with ctcdecode runs on host (tpuasr.decode.beam_host).
+ctcdecode API parity (SURVEY.md §5.6 decoder flags): `cutoff_top_n` /
+`cutoff_prob` / `prune_logp` per-frame candidate pruning with the same
+semantics as the host oracle (tpuasr.decode.beam_host), n-best output,
+and per-character frame offsets (tracked in a parallel (W, T) store).
+
+LM shallow fusion, both levels, device-resident:
+  * char n-gram: `alpha * log P_lm(c | last chars)` at every extension
+    (hashed tables probed by rolling context hashes).
+  * WORD n-gram (ctcdecode semantics, BASELINE config 4): each beam
+    carries a rolling hash of its current partial word and a ring of
+    the last (order-1) completed-word hashes; when a space is emitted
+    after a non-empty word, `alpha * log P_lm(word | context) + beta`
+    is added (Katz backoff over hashed tables, OOV -> <unk>), and the
+    final partial word is closed after the scan — exactly the host
+    BeamCTCDecoder's scoring, so device-vs-host parity is testable.
+
+The LM contribution is tracked SEPARATELY from the CTC mass (pb/pnb
+stay pure CTC, like ctcdecode) and only enters the ranking score.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -37,16 +52,40 @@ import numpy as np
 from tpuasr.labels import Alphabet
 
 NEG = -1e30
-OOV_LOGP = -20.0  # natural-log floor for LM-unseen characters
+OOV_LOGP = -20.0  # natural-log floor for LM-unseen characters (char mode)
+# Word mode matches the host oracle: ArpaLM returns LOG10_EPS (-99
+# log10) for words absent even as <unk> unigrams.
+WORD_OOV_NAT = -99.0 * np.log(10.0)
 
 # 32-bit hash mixing constants (two independent streams)
 _M1 = np.uint32(0x9E3779B1)
 _M2 = np.uint32(0x85EBCA77)
 
+# Reserved token hash pairs for words that are not character sequences.
+# Real words hash via the rolling char-id mix; colliding with these is
+# a ~2^-64 event.
+BOS_TOK = (np.uint32(0x7F4A7C15), np.uint32(0x3C6EF372))
+UNK_TOK = (np.uint32(0x9E3779B9), np.uint32(0x85EBCA6B))
+EOS_TOK = (np.uint32(0x27220A95), np.uint32(0x165667B1))
+PAD_TOK = (np.uint32(0x50AD50AD), np.uint32(0xDEFACED1))
+
 
 def _mix32(h, x, mult):
     h = (h ^ x) * mult
     return h ^ (h >> 15)
+
+
+def _np_mix32(h, x, mult):
+    with np.errstate(over="ignore"):
+        h = np.uint32((np.uint32(h) ^ np.uint32(x)) * mult)
+    return np.uint32(h ^ (h >> np.uint32(15)))
+
+
+def _np_hash_ids(ids, mult) -> np.uint32:
+    h = np.uint32(0)
+    for c in ids:
+        h = _np_mix32(h, np.uint32(c), mult)
+    return h
 
 
 def _lse(a, b):
@@ -62,49 +101,247 @@ class BeamConfig:
     beam_width: int = 10
     blank_id: int = 0
     space_id: int | None = None
-    alpha: float = 0.0  # char-LM weight (natural log domain)
-    beta: float = 0.0  # word bonus per space
+    alpha: float = 0.0  # LM weight (natural log domain)
+    beta: float = 0.0  # word bonus
     pool_mult: int = 4  # dedup pool = pool_mult * beam_width
+    # ctcdecode-parity per-frame candidate pruning (host defaults):
+    cutoff_top_n: int = 40
+    cutoff_prob: float = 1.0
+    prune_logp: float = -20.0
 
 
-def _step(state, lp, cfg: BeamConfig, t, lm_tables=None):
+class HashedTables(NamedTuple):
+    """Open-addressed (2x32-bit key) -> (logp, backoff) tables, one per
+    n-gram order, as device arrays. Natural-log values."""
+
+    keys1: tuple  # per order: (cap,) uint32
+    keys2: tuple
+    logps: tuple  # per order: (cap,) float32
+    backoffs: tuple
+    order: int
+    n_probes: int
+
+
+class BeamState(NamedTuple):
+    pb: jnp.ndarray  # (W,) log P(prefix, ending in blank)
+    pnb: jnp.ndarray  # (W,) log P(prefix, ending in non-blank)
+    h1: jnp.ndarray  # (W,) uint32 prefix hash stream 1
+    h2: jnp.ndarray  # (W,) uint32 prefix hash stream 2
+    last: jnp.ndarray  # (W,) int32 last char (-1 = empty prefix)
+    store: jnp.ndarray  # (W, t_cap) int32 prefix chars
+    toff: jnp.ndarray  # (W, t_cap) int32 emission frame per char
+    length: jnp.ndarray  # (W,) int32 prefix length
+    lm_score: jnp.ndarray  # (W,) accumulated LM + bonus score
+    ctx: jnp.ndarray  # (W, k_ctx) int32 char-LM context (char mode)
+    wh1: jnp.ndarray  # (W,) uint32 partial-word rolling hash 1
+    wh2: jnp.ndarray  # (W,) uint32 partial-word rolling hash 2
+    wlen: jnp.ndarray  # (W,) int32 partial-word char count
+    wc1: jnp.ndarray  # (W, K) uint32 completed-word context ring 1
+    wc2: jnp.ndarray  # (W, K) uint32 completed-word context ring 2
+
+
+def _probe(tables: HashedTables, k: int, h1, h2):
+    """Probe order-k table with hash pair arrays (any shape).
+    Returns (found, logp, backoff)."""
+    keys1, keys2 = tables.keys1[k], tables.keys2[k]
+    cap = keys1.shape[0]
+    slot = (h1 % jnp.uint32(cap)).astype(jnp.int32)
+    found = jnp.zeros(h1.shape, bool)
+    val = jnp.full(h1.shape, NEG, jnp.float32)
+    bo = jnp.zeros(h1.shape, jnp.float32)
+    for _ in range(tables.n_probes):
+        k1 = keys1[slot]
+        k2 = keys2[slot]
+        hit = (k1 == h1) & (k2 == h2) & ~found
+        val = jnp.where(hit, tables.logps[k][slot], val)
+        bo = jnp.where(hit, tables.backoffs[k][slot], bo)
+        found = found | hit
+        slot = (slot + 1) % cap
+    return found, val, bo
+
+
+def _fold_tokens(pairs):
+    """Fold a list of (t1, t2) uint32 token-hash pairs into one key
+    pair (the same chain the packers compute on host)."""
+    H1 = jnp.zeros(pairs[0][0].shape, jnp.uint32)
+    H2 = jnp.zeros(pairs[0][0].shape, jnp.uint32)
+    for t1, t2 in pairs:
+        H1 = _mix32(H1, t1, jnp.uint32(_M1))
+        H2 = _mix32(H2, t2, jnp.uint32(_M2))
+    return H1, H2
+
+
+def _np_fold_tokens(pairs):
+    H1, H2 = np.uint32(0), np.uint32(0)
+    for t1, t2 in pairs:
+        H1 = _np_mix32(H1, t1, _M1)
+        H2 = _np_mix32(H2, t2, _M2)
+    return H1, H2
+
+
+def _char_lm_scores(lm_tables: HashedTables, ctx, c_num):
+    """(W, C) log P(c | ctx chars) from hashed char-LM tables with the
+    full Katz backoff chain (backoff weights accumulated down the
+    orders, exactly the host ArpaLM.score_word recursion)."""
+    order = lm_tables.order
+    w, k_ctx = ctx.shape
+    chars = jnp.arange(c_num, dtype=jnp.uint32)
+
+    def hash_ngram(ctx_tail, c):
+        # ctx_tail: (W, m) int32; returns (W, C) pair-hash for each char
+        h1 = jnp.zeros((w,), jnp.uint32)
+        h2 = jnp.zeros((w,), jnp.uint32)
+        for i in range(ctx_tail.shape[1]):
+            x = ctx_tail[:, i].astype(jnp.uint32)
+            h1 = _mix32(h1, x, jnp.uint32(_M1))
+            h2 = _mix32(h2, x, jnp.uint32(_M2))
+        h1 = _mix32(h1[:, None], c[None, :], jnp.uint32(_M1))  # (W, C)
+        h2 = _mix32(h2[:, None], c[None, :], jnp.uint32(_M2))
+        return h1, h2
+
+    score = jnp.full((w, c_num), NEG, jnp.float32)
+    resolved = jnp.zeros((w, c_num), bool)
+    bo_acc = jnp.zeros((w, c_num), jnp.float32)
+    for m in range(order - 1, -1, -1):  # context length m, longest first
+        ctx_tail = ctx[:, k_ctx - m:] if m > 0 else ctx[:, :0]
+        h1, h2 = hash_ngram(ctx_tail, chars)
+        found, val, _ = _probe(lm_tables, m, h1, h2)
+        use = found & ~resolved
+        score = jnp.where(use, bo_acc + val, score)
+        resolved = resolved | found
+        if m > 0:
+            # accumulate this context's backoff for unresolved entries
+            hb1 = jnp.zeros((w,), jnp.uint32)
+            hb2 = jnp.zeros((w,), jnp.uint32)
+            for i in range(m):
+                x = ctx_tail[:, i].astype(jnp.uint32)
+                hb1 = _mix32(hb1, x, jnp.uint32(_M1))
+                hb2 = _mix32(hb2, x, jnp.uint32(_M2))
+            bfound, _, bbo = _probe(
+                lm_tables, m - 1, hb1[:, None], hb2[:, None]
+            )
+            step_bo = jnp.where(bfound, bbo, 0.0)
+            bo_acc = jnp.where(resolved, bo_acc, bo_acc + step_bo)
+    # OOV floor: characters absent from the LM score a fixed penalty
+    # instead of -inf (keeps fusion numerically sane for rare chars).
+    return jnp.where(resolved, score, OOV_LOGP)
+
+
+def _word_lm_score(wt: HashedTables, bos_unused, wc1, wc2, wh1, wh2):
+    """(W,) natural-log P(word | word context) with Katz backoff over
+    hashed word tables, mirroring the host ArpaLM.score_word:
+      * OOV word (absent as a unigram) -> scored as <unk>;
+      * longest context first; each failed level accumulates that
+        context's backoff weight (0 when the context has none);
+      * absent even as <unk> -> the ARPA -99 log10 floor.
+    Also returns the EFFECTIVE token hash pair (word, or <unk> when
+    OOV) — that is what enters the context ring, matching the host's
+    UNK substitution of out-of-vocabulary context tokens.
+    """
+    K = wc1.shape[1]  # ring length = order - 1
+
+    uni1, uni2 = _fold_tokens([(wh1, wh2)])
+    uni_found, _, _ = _probe(wt, 0, uni1, uni2)
+    eff1 = jnp.where(uni_found, wh1, jnp.uint32(UNK_TOK[0]))
+    eff2 = jnp.where(uni_found, wh2, jnp.uint32(UNK_TOK[1]))
+
+    score = jnp.zeros(wh1.shape, jnp.float32)
+    resolved = jnp.zeros(wh1.shape, bool)
+    bo_acc = jnp.zeros(wh1.shape, jnp.float32)
+    for m in range(min(wt.order - 1, K), -1, -1):
+        ctx_pairs = [(wc1[:, K - m + i], wc2[:, K - m + i]) for i in range(m)]
+        kh1, kh2 = _fold_tokens(ctx_pairs + [(eff1, eff2)])
+        found, val, _ = _probe(wt, m, kh1, kh2)
+        score = jnp.where(found & ~resolved, bo_acc + val, score)
+        resolved = resolved | found
+        if m > 0:
+            bh1, bh2 = _fold_tokens(ctx_pairs)
+            bfound, _, bbo = _probe(wt, m - 1, bh1, bh2)
+            bo_acc = jnp.where(
+                resolved, bo_acc, bo_acc + jnp.where(bfound, bbo, 0.0)
+            )
+    # Host floor: a word absent even as <unk> still pays the backoff
+    # weights of the contexts it fell through (ArpaLM.score_word adds
+    # every nonzero backoff before hitting the -99 unigram default).
+    score = jnp.where(resolved, score, bo_acc + WORD_OOV_NAT)
+    return score, eff1, eff2
+
+
+def _keep_mask(lp, cfg: BeamConfig):
+    """ctcdecode candidate pruning, host-oracle semantics: rank chars
+    by log-prob, keep the top `cutoff_top_n` within cumulative prob
+    `cutoff_prob`; drop chars at/below `prune_logp` except blank (the
+    blank bypasses only the floor, not the top-n cutoff)."""
+    c_num = lp.shape[0]
+    n_top = min(cfg.cutoff_top_n, c_num)
+    chars = jnp.arange(c_num, dtype=jnp.int32)
+    sorted_lp = -jnp.sort(-lp)  # descending
+    if cfg.cutoff_prob < 1.0:
+        cum = jnp.cumsum(jnp.exp(sorted_lp))
+        keep_count = jnp.minimum(
+            jnp.sum(cum < cfg.cutoff_prob) + 1, n_top
+        )
+    else:
+        keep_count = jnp.asarray(n_top, jnp.int32)
+    thresh = sorted_lp[jnp.maximum(keep_count - 1, 0)]
+    in_top = lp >= thresh  # ties at the threshold keep extras (documented)
+    return in_top & ((lp > cfg.prune_logp) | (chars == cfg.blank_id))
+
+
+def _step(state: BeamState, lp, t, cfg: BeamConfig,
+          lm_tables: HashedTables | None, word_tables: HashedTables | None):
     """One time step for one utterance. lp: (C,) log-probs."""
-    pb, pnb, h1, h2, last, store, length, lm_score, ctx = state
-    w = pb.shape[0]
+    w = state.pb.shape[0]
     c_num = lp.shape[0]
 
-    p_tot = _lse(pb, pnb)
+    keep = _keep_mask(lp, cfg)
+    p_tot = _lse(state.pb, state.pnb)
 
     # ---- stay candidates (same prefix) ----
-    stay_pb = p_tot + lp[cfg.blank_id]
-    stay_pnb = jnp.where(last >= 0, pnb + lp[jnp.maximum(last, 0)], NEG)
+    stay_pb = jnp.where(keep[cfg.blank_id], p_tot + lp[cfg.blank_id], NEG)
+    last_kept = (state.last >= 0) & keep[jnp.maximum(state.last, 0)]
+    stay_pnb = jnp.where(
+        last_kept, state.pnb + lp[jnp.maximum(state.last, 0)], NEG
+    )
 
     # ---- extend candidates: (W, C) ----
     chars = jnp.arange(c_num, dtype=jnp.int32)[None, :]  # (1, C)
-    is_repeat = chars == last[:, None]
-    base = jnp.where(is_repeat, pb[:, None], p_tot[:, None])
+    is_repeat = chars == state.last[:, None]
+    base = jnp.where(is_repeat, state.pb[:, None], p_tot[:, None])
     ext = base + lp[None, :]
-    ext = jnp.where(chars == cfg.blank_id, NEG, ext)
+    ext = jnp.where((chars == cfg.blank_id) | ~keep[None, :], NEG, ext)
 
-    # char-LM fusion: alpha * log P(c | ctx) at every extension. The LM
-    # contribution is tracked SEPARATELY from the CTC mass (pb/pnb stay
-    # pure CTC, like ctcdecode) and only enters the ranking score.
-    lm_add = jnp.zeros_like(ext)
+    # LM fusion contribution per extension (ranking score only).
+    lm_add = jnp.zeros((w, c_num), jnp.float32)
     if lm_tables is not None and cfg.alpha != 0.0:
-        lm_add = cfg.alpha * _char_lm_scores(lm_tables, ctx, c_num)  # (W, C)
-    if cfg.space_id is not None and cfg.beta != 0.0:
-        lm_add = lm_add + jnp.where(chars == cfg.space_id, cfg.beta, 0.0)
+        lm_add = cfg.alpha * _char_lm_scores(lm_tables, state.ctx, c_num)
+        if cfg.space_id is not None and cfg.beta != 0.0:
+            lm_add = lm_add + jnp.where(chars == cfg.space_id, cfg.beta, 0.0)
+    wscore = weff1 = weff2 = None
+    if word_tables is not None and cfg.space_id is not None:
+        # Completing a word: only the space column gets the word score,
+        # and only for beams with a non-empty partial word (the host
+        # skips leading/double spaces entirely: no LM term, no beta).
+        wscore, weff1, weff2 = _word_lm_score(
+            word_tables, None, state.wc1, state.wc2, state.wh1, state.wh2
+        )
+        word_bonus = jnp.where(
+            state.wlen > 0, cfg.alpha * wscore + cfg.beta, 0.0
+        )  # (W,)
+        lm_add = lm_add + jnp.where(
+            chars == cfg.space_id, word_bonus[:, None], 0.0
+        )
 
-    ext_h1 = _mix32(h1[:, None], chars.astype(jnp.uint32), _M1)
-    ext_h2 = _mix32(h2[:, None], chars.astype(jnp.uint32), _M2)
+    ext_h1 = _mix32(state.h1[:, None], chars.astype(jnp.uint32), jnp.uint32(_M1))
+    ext_h2 = _mix32(state.h2[:, None], chars.astype(jnp.uint32), jnp.uint32(_M2))
 
     # ---- candidate pool ----
     cand_pb = jnp.concatenate([stay_pb, jnp.full((w * c_num,), NEG)], 0)
     cand_pnb = jnp.concatenate([stay_pnb, ext.reshape(-1)], 0)
-    cand_h1 = jnp.concatenate([h1, ext_h1.reshape(-1)], 0)
-    cand_h2 = jnp.concatenate([h2, ext_h2.reshape(-1)], 0)
+    cand_h1 = jnp.concatenate([state.h1, ext_h1.reshape(-1)], 0)
+    cand_h2 = jnp.concatenate([state.h2, ext_h2.reshape(-1)], 0)
     cand_last = jnp.concatenate(
-        [last, jnp.broadcast_to(chars, (w, c_num)).reshape(-1)], 0
+        [state.last, jnp.broadcast_to(chars, (w, c_num)).reshape(-1)], 0
     )
     cand_parent = jnp.concatenate(
         [
@@ -120,7 +357,7 @@ def _step(state, lp, cfg: BeamConfig, t, lm_tables=None):
          jnp.broadcast_to(chars, (w, c_num)).reshape(-1)], 0
     )
     cand_lm = jnp.concatenate(
-        [lm_score, (lm_score[:, None] + lm_add).reshape(-1)], 0
+        [state.lm_score, (state.lm_score[:, None] + lm_add).reshape(-1)], 0
     )
 
     score = _lse(cand_pb, cand_pnb) + cand_lm
@@ -156,22 +393,58 @@ def _step(state, lp, cfg: BeamConfig, t, lm_tables=None):
     new_lm = cand_lm[sel]
     parent = cand_parent[sel]
     newchar = cand_new[sel]
+    extended = newchar >= 0
 
-    # ---- prefix storage / length / LM context update ----
-    old_store = store[parent]
-    old_len = length[parent]
+    # ---- prefix storage / length / offsets / LM context update ----
+    old_store = state.store[parent]
+    old_toff = state.toff[parent]
+    old_len = state.length[parent]
     appended = _append(old_store, old_len, newchar)
-    new_store = jnp.where((newchar >= 0)[:, None], appended, old_store)
-    new_length = jnp.where(newchar >= 0, old_len + 1, old_len)
-    old_ctx = ctx[parent]
+    new_store = jnp.where(extended[:, None], appended, old_store)
+    t_arr = jnp.full((w,), t, jnp.int32)
+    new_toff = jnp.where(
+        extended[:, None], _append(old_toff, old_len, t_arr), old_toff
+    )
+    new_length = jnp.where(extended, old_len + 1, old_len)
+    old_ctx = state.ctx[parent]
     new_ctx = jnp.where(
-        (newchar >= 0)[:, None],
+        extended[:, None],
         jnp.concatenate([old_ctx[:, 1:], jnp.maximum(newchar, 0)[:, None]], 1),
         old_ctx,
     )
 
-    return (new_pb, new_pnb, new_h1, new_h2, new_last, new_store,
-            new_length, new_lm, new_ctx)
+    # ---- word-LM per-beam state ----
+    new_wh1, new_wh2 = state.wh1[parent], state.wh2[parent]
+    new_wlen = state.wlen[parent]
+    new_wc1, new_wc2 = state.wc1[parent], state.wc2[parent]
+    if word_tables is not None and cfg.space_id is not None:
+        is_space = extended & (newchar == cfg.space_id)
+        closes_word = is_space & (new_wlen > 0)
+        # push the completed word's effective hash into the ring
+        pe1 = weff1[parent]
+        pe2 = weff2[parent]
+        pushed1 = jnp.concatenate([new_wc1[:, 1:], pe1[:, None]], 1)
+        pushed2 = jnp.concatenate([new_wc2[:, 1:], pe2[:, None]], 1)
+        new_wc1 = jnp.where(closes_word[:, None], pushed1, new_wc1)
+        new_wc2 = jnp.where(closes_word[:, None], pushed2, new_wc2)
+        # extend the partial word with a non-space char
+        grows = extended & (newchar != cfg.space_id)
+        cu = jnp.maximum(newchar, 0).astype(jnp.uint32)
+        new_wh1 = jnp.where(
+            is_space, jnp.uint32(0),
+            jnp.where(grows, _mix32(new_wh1, cu, jnp.uint32(_M1)), new_wh1),
+        )
+        new_wh2 = jnp.where(
+            is_space, jnp.uint32(0),
+            jnp.where(grows, _mix32(new_wh2, cu, jnp.uint32(_M2)), new_wh2),
+        )
+        new_wlen = jnp.where(
+            is_space, 0, jnp.where(grows, new_wlen + 1, new_wlen)
+        )
+
+    return BeamState(new_pb, new_pnb, new_h1, new_h2, new_last, new_store,
+                     new_toff, new_length, new_lm, new_ctx,
+                     new_wh1, new_wh2, new_wlen, new_wc1, new_wc2)
 
 
 def _merge_lse(vals, mask):
@@ -183,106 +456,52 @@ def _merge_lse(vals, mask):
     return jnp.maximum(out, NEG)
 
 
-def _append(store, lengths, chars):
+def _append(store, lengths, vals):
     t_cap = store.shape[1]
     onehot = (
         jnp.arange(t_cap, dtype=jnp.int32)[None, :] == lengths[:, None]
     )
-    return jnp.where(onehot, jnp.maximum(chars, 0)[:, None], store)
-
-
-def _char_lm_scores(lm_tables, ctx, c_num):
-    """(W, C) log P(c | ctx chars) from hashed char-LM tables with
-    stupid-backoff-style fallback (full backoff weights applied when
-    present)."""
-    keys, logps, backoffs, order, n_probes = lm_tables
-    w, k_ctx = ctx.shape
-    chars = jnp.arange(c_num, dtype=jnp.uint32)
-
-    def hash_ngram(ctx_tail, c):
-        # ctx_tail: (W, m) int32; returns (W,) pair-hash combined for char c
-        h1 = jnp.zeros((w,), jnp.uint32)
-        h2 = jnp.zeros((w,), jnp.uint32)
-        for i in range(ctx_tail.shape[1]):
-            x = ctx_tail[:, i].astype(jnp.uint32)
-            h1 = _mix32(h1, x, _M1)
-            h2 = _mix32(h2, x, _M2)
-        h1 = _mix32(h1[:, None], c[None, :], _M1)  # (W, C)
-        h2 = _mix32(h2[:, None], c[None, :], _M2)
-        return h1, h2
-
-    def probe(table_i, h1, h2):
-        keys1, keys2 = keys[table_i]
-        cap = keys1.shape[0]
-        slot = (h1 % jnp.uint32(cap)).astype(jnp.int32)
-        found = jnp.zeros(h1.shape, bool)
-        val = jnp.full(h1.shape, NEG, jnp.float32)
-        bo = jnp.zeros(h1.shape, jnp.float32)
-        for _ in range(n_probes):
-            k1 = keys1[slot]
-            k2 = keys2[slot]
-            hit = (k1 == h1) & (k2 == h2) & ~found
-            val = jnp.where(hit, logps[table_i][slot], val)
-            bo = jnp.where(hit, backoffs[table_i][slot], bo)
-            found = found | hit
-            slot = (slot + 1) % cap
-        return found, val, bo
-
-    # highest order first with backoff accumulation
-    score = jnp.full((w, c_num), NEG, jnp.float32)
-    resolved = jnp.zeros((w, c_num), bool)
-    bo_acc = jnp.zeros((w, c_num), jnp.float32)
-    for m in range(order - 1, -1, -1):  # context length m
-        ctx_tail = ctx[:, k_ctx - m:] if m > 0 else ctx[:, :0]
-        h1, h2 = hash_ngram(ctx_tail, chars)
-        found, val, _ = probe(m, h1, h2)
-        use = found & ~resolved
-        score = jnp.where(use, bo_acc + val, score)
-        resolved = resolved | found
-        if m > 0:
-            # accumulate this context's backoff for unresolved entries
-            hb1 = jnp.zeros((w,), jnp.uint32)
-            hb2 = jnp.zeros((w,), jnp.uint32)
-            for i in range(m):
-                x = ctx_tail[:, i].astype(jnp.uint32)
-                hb1 = _mix32(hb1, x, _M1)
-                hb2 = _mix32(hb2, x, _M2)
-            bfound, _, bbo = probe(m - 1, hb1[:, None] * jnp.uint32(1),
-                                   hb2[:, None] * jnp.uint32(1))
-            step_bo = jnp.where(bfound, bbo, 0.0)
-            bo_acc = jnp.where(resolved, bo_acc, bo_acc + step_bo)
-    # OOV floor: characters absent from the LM score a fixed penalty
-    # instead of -inf (keeps fusion numerically sane for rare chars).
-    return jnp.where(resolved, score, OOV_LOGP)
+    return jnp.where(onehot, jnp.maximum(vals, 0)[:, None], store)
 
 
 def make_beam_search(cfg: BeamConfig, t_cap: int, n_class: int,
-                     lm_tables=None):
+                     lm_tables: HashedTables | None = None,
+                     word_tables: HashedTables | None = None):
     """Build the jitted batched decoder:
     (logprobs (B,T,C), lengths (B,)) -> (store (B,W,t_cap),
-    out_lens (B,W), scores (B,W))."""
+    toff (B,W,t_cap), out_lens (B,W), scores (B,W))."""
 
     def decode_one(logprobs, length):
         w = cfg.beam_width
         pb = jnp.full((w,), NEG).at[0].set(0.0)
         pnb = jnp.full((w,), NEG)
-        h1 = jnp.zeros((w,), jnp.uint32)
-        h2 = jnp.zeros((w,), jnp.uint32)
-        # distinct initial hashes so empty duplicates don't merge
-        h1 = h1.at[:].set(jnp.arange(w, dtype=jnp.uint32) + 1)
-        h2 = h2.at[:].set(jnp.arange(w, dtype=jnp.uint32) + 1)
-        h1 = h1.at[0].set(0)
-        h2 = h2.at[0].set(0)
+        # distinct initial hashes so empty duplicates don't merge;
+        # beam 0 (the live empty prefix) hashes to 0.
+        h1 = (jnp.arange(w, dtype=jnp.uint32) + 1).at[0].set(0)
+        h2 = (jnp.arange(w, dtype=jnp.uint32) + 1).at[0].set(0)
         last = jnp.full((w,), -1, jnp.int32)
         store = jnp.zeros((w, t_cap), jnp.int32)
+        toff = jnp.zeros((w, t_cap), jnp.int32)
         blen = jnp.zeros((w,), jnp.int32)
         lm_score = jnp.zeros((w,), jnp.float32)
-        k_ctx = 4 if lm_tables is None else max(1, lm_tables[3] - 1)
+        k_ctx = 4 if lm_tables is None else max(1, lm_tables.order - 1)
         ctx = jnp.zeros((w, k_ctx), jnp.int32)
+        k_word = 1 if word_tables is None else max(1, word_tables.order - 1)
+        wc1 = jnp.full((w, k_word), PAD_TOK[0], jnp.uint32)
+        wc2 = jnp.full((w, k_word), PAD_TOK[1], jnp.uint32)
+        if word_tables is not None:
+            # host context starts at (<s>,): BOS is the newest ring slot
+            wc1 = wc1.at[:, -1].set(jnp.uint32(BOS_TOK[0]))
+            wc2 = wc2.at[:, -1].set(jnp.uint32(BOS_TOK[1]))
+        wh1 = jnp.zeros((w,), jnp.uint32)
+        wh2 = jnp.zeros((w,), jnp.uint32)
+        wlen = jnp.zeros((w,), jnp.int32)
+        state0 = BeamState(pb, pnb, h1, h2, last, store, toff, blen,
+                           lm_score, ctx, wh1, wh2, wlen, wc1, wc2)
 
         def body(state, inp):
             lp, t = inp
-            new_state = _step(state, lp, cfg, t, lm_tables)
+            new_state = _step(state, lp, t, cfg, lm_tables, word_tables)
             keep = t < length
             state = jax.tree.map(
                 lambda n, o: jnp.where(
@@ -292,12 +511,19 @@ def make_beam_search(cfg: BeamConfig, t_cap: int, n_class: int,
             return state, None
 
         ts = jnp.arange(logprobs.shape[0], dtype=jnp.int32)
-        state0 = (pb, pnb, h1, h2, last, store, blen, lm_score, ctx)
         state, _ = jax.lax.scan(body, state0, (logprobs, ts))
-        pb, pnb, h1, h2, last, store, blen, lm_score, ctx = state
-        scores = _lse(pb, pnb) + lm_score
+        scores = _lse(state.pb, state.pnb) + state.lm_score
+        if word_tables is not None and cfg.space_id is not None:
+            # close the final partial word (ctcdecode finish_decoding)
+            wscore, _, _ = _word_lm_score(
+                word_tables, None, state.wc1, state.wc2, state.wh1, state.wh2
+            )
+            scores = scores + jnp.where(
+                state.wlen > 0, cfg.alpha * wscore + cfg.beta, 0.0
+            )
         order = jnp.argsort(-scores)
-        return store[order], blen[order], scores[order]
+        return (state.store[order], state.toff[order],
+                state.length[order], scores[order])
 
     @jax.jit
     def decode(logprobs, lengths):
@@ -307,46 +533,137 @@ def make_beam_search(cfg: BeamConfig, t_cap: int, n_class: int,
 
 
 class DeviceBeamDecoder:
-    """Batched on-device beam decoder with the framework decoder API."""
+    """Batched on-device beam decoder with the framework decoder API
+    plus ctcdecode-parity features: word- OR char-level LM fusion,
+    cutoff pruning, n-best, per-char frame offsets."""
 
     def __init__(self, alphabet: Alphabet, beam_width: int = 10,
-                 char_lm=None, alpha: float = 0.0, beta: float = 0.0):
+                 char_lm=None, word_lm=None, alpha: float = 0.0,
+                 beta: float = 0.0, cutoff_top_n: int = 40,
+                 cutoff_prob: float = 1.0, prune_logp: float = -20.0):
+        if char_lm is not None and word_lm is not None:
+            raise ValueError("pass char_lm or word_lm, not both")
         self.alphabet = alphabet
-        lm_tables = None
-        if char_lm is not None:
-            lm_tables = pack_lm_tables(char_lm, alphabet)
-        self._lm_tables = lm_tables
+        self._lm_tables = (
+            pack_lm_tables(char_lm, alphabet) if char_lm is not None else None
+        )
+        self._word_tables = (
+            pack_word_lm_tables(word_lm, alphabet)
+            if word_lm is not None else None
+        )
         self.cfg = BeamConfig(
             beam_width=beam_width,
             blank_id=alphabet.blank_id,
             space_id=alphabet.space_id,
             alpha=alpha,
             beta=beta,
+            cutoff_top_n=cutoff_top_n,
+            cutoff_prob=cutoff_prob,
+            prune_logp=prune_logp,
         )
         self._cache = {}
 
-    def decode(self, logits, lengths, return_offsets: bool = False):
+    def _run(self, logits, lengths):
         logits = jnp.asarray(logits)
         logprobs = jax.nn.log_softmax(logits, axis=-1)
         t_cap, n_class = logits.shape[1], logits.shape[2]
         key = (t_cap, n_class)
         if key not in self._cache:
             self._cache[key] = make_beam_search(
-                self.cfg, t_cap, n_class, self._lm_tables
+                self.cfg, t_cap, n_class, self._lm_tables, self._word_tables
             )
-        store, blen, scores = self._cache[key](logprobs, jnp.asarray(lengths))
-        store = np.asarray(store)
-        blen = np.asarray(blen)
-        texts = [
-            self.alphabet.decode(store[b, 0, : blen[b, 0]]).strip()
-            for b in range(store.shape[0])
-        ]
+        store, toff, blen, scores = self._cache[key](
+            logprobs, jnp.asarray(lengths)
+        )
+        return (np.asarray(store), np.asarray(toff), np.asarray(blen),
+                np.asarray(scores))
+
+    def _readout(self, store_row, toff_row, n):
+        """ids (+frames) -> (stripped text, aligned offsets)."""
+        raw = self.alphabet.decode(store_row[:n])
+        frames = toff_row[:n]
+        lead = len(raw) - len(raw.lstrip())
+        kept = len(raw.strip())
+        return raw.strip(), frames[lead:lead + kept]
+
+    def decode(self, logits, lengths, return_offsets: bool = False):
+        store, toff, blen, _ = self._run(logits, lengths)
+        texts, offsets = [], []
+        for b in range(store.shape[0]):
+            text, offs = self._readout(store[b, 0], toff[b, 0], blen[b, 0])
+            texts.append(text)
+            offsets.append(offs)
         if return_offsets:
-            return texts, [np.array([], np.int64)] * len(texts)
+            return texts, offsets
         return texts
 
+    def decode_nbest(self, logits, lengths, n_best: int | None = None):
+        """Per utterance: [(text, score, offsets)] best-first, deduped
+        (the beam can hold the same prefix as blank/non-blank split
+        only transiently; identical texts are merged keeping the best
+        score)."""
+        store, toff, blen, scores = self._run(logits, lengths)
+        n_best = n_best or self.cfg.beam_width
+        out = []
+        for b in range(store.shape[0]):
+            rows, seen = [], set()
+            for w in range(store.shape[1]):
+                if len(rows) >= n_best:
+                    break
+                text, offs = self._readout(store[b, w], toff[b, w], blen[b, w])
+                if text in seen:
+                    continue
+                seen.add(text)
+                rows.append((text, float(scores[b, w]), offs))
+            out.append(rows)
+        return out
 
-def pack_lm_tables(char_lm, alphabet: Alphabet):
+
+# ---------------------------------------------------------------------------
+# Host-side table packing (drop-free: capacity grows until every entry
+# places within n_probes linear probes of its home slot)
+# ---------------------------------------------------------------------------
+
+
+def _pack_table(items, n_probes: int):
+    """items: list of (h1, h2, logp_nat, bo_nat). Returns uint32 key
+    arrays + float32 value arrays. NEVER drops an entry: if an item
+    cannot be placed within ``n_probes`` probes (the device lookup
+    budget), the table doubles and packing restarts."""
+    n = max(len(items), 1)
+    cap = 1
+    while cap < n * 2:
+        cap *= 2
+    while True:
+        k1 = np.zeros(cap, np.uint32)
+        k2 = np.zeros(cap, np.uint32)
+        lp = np.full(cap, NEG, np.float32)
+        bo = np.zeros(cap, np.float32)
+        ok = True
+        for h1, h2, l, b in items:
+            if h1 == 0 and h2 == 0:
+                # (0,0) marks an empty slot; nudge (lookup of this key
+                # then misses — a ~2^-64 event, vs. corrupting the table)
+                h2 = np.uint32(1)
+            slot = int(h1 % np.uint32(cap))
+            placed = False
+            for _ in range(n_probes):
+                if k1[slot] == 0 and k2[slot] == 0:
+                    k1[slot], k2[slot] = h1, h2
+                    lp[slot], bo[slot] = l, b
+                    placed = True
+                    break
+                slot = (slot + 1) % cap
+            if not placed:
+                ok = False
+                break
+        if ok:
+            return (jnp.asarray(k1), jnp.asarray(k2), jnp.asarray(lp),
+                    jnp.asarray(bo))
+        cap *= 2
+
+
+def pack_lm_tables(char_lm, alphabet: Alphabet) -> HashedTables:
     """Convert a char-level ArpaLM into device arrays keyed by the
     SAME rolling 2x32-bit hashes the kernel computes over class ids."""
     from tpuasr.decode.lm import ArpaLM
@@ -355,9 +672,7 @@ def pack_lm_tables(char_lm, alphabet: Alphabet):
     import math as _math
 
     ln10 = _math.log(10.0)
-    order = char_lm.order
     n_probes = 8
-    keys, logps, backoffs = [], [], []
 
     def ids_of(toks):
         out = []
@@ -371,44 +686,74 @@ def pack_lm_tables(char_lm, alphabet: Alphabet):
                 out.append(enc[0])
         return out
 
-    for k, table in enumerate(char_lm.ngrams):
-        n = max(len(table), 1)
-        cap = 1
-        while cap < n * 2:
-            cap *= 2
-        k1 = np.zeros(cap, np.uint32)
-        k2 = np.zeros(cap, np.uint32)
-        lp = np.full(cap, NEG, np.float32)
-        bo = np.zeros(cap, np.float32)
+    keys1, keys2, logps, backoffs = [], [], [], []
+    for table in char_lm.ngrams:
+        items = []
         for toks, (logp, b) in table.items():
             ids = ids_of(toks)
             if ids is None:
+                continue  # multi-char / non-alphabet token: unreachable by the beam
+            h1 = _np_hash_ids(ids, _M1)
+            h2 = _np_hash_ids(ids, _M2)
+            items.append((h1, h2, logp * ln10, b * ln10))
+        k1, k2, lp, bo = _pack_table(items, n_probes)
+        keys1.append(k1)
+        keys2.append(k2)
+        logps.append(lp)
+        backoffs.append(bo)
+    return HashedTables(tuple(keys1), tuple(keys2), tuple(logps),
+                        tuple(backoffs), char_lm.order, n_probes)
+
+
+def word_token_hash(word: str, alphabet: Alphabet):
+    """Token hash pair for a vocabulary word = the rolling char-id hash
+    the beam accumulates while typing it. Reserved tokens (<s>, </s>,
+    <unk>) get fixed pairs the beam can never produce."""
+    if word == "<s>":
+        return BOS_TOK
+    if word == "</s>":
+        return EOS_TOK
+    if word == "<unk>":
+        return UNK_TOK
+    ids = alphabet.encode(word)
+    if alphabet.decode(ids) != word:
+        return None  # not producible by the beam (case/charset mismatch)
+    return (_np_hash_ids(ids, _M1), _np_hash_ids(ids, _M2))
+
+
+def pack_word_lm_tables(word_lm, alphabet: Alphabet) -> HashedTables:
+    """Convert a WORD-level ArpaLM into device hash tables. Each
+    n-gram's key folds the token hash pairs of its words; tokens whose
+    characters don't round-trip through the alphabet (e.g. a lowercase
+    LM against an uppercase alphabet — the host oracle treats those
+    words as OOV too) are skipped as unreachable."""
+    from tpuasr.decode.lm import ArpaLM
+
+    assert isinstance(word_lm, ArpaLM)
+    import math as _math
+
+    ln10 = _math.log(10.0)
+    n_probes = 8
+    cache: dict = {}
+
+    def tok(wordstr):
+        if wordstr not in cache:
+            cache[wordstr] = word_token_hash(wordstr, alphabet)
+        return cache[wordstr]
+
+    keys1, keys2, logps, backoffs = [], [], [], []
+    for table in word_lm.ngrams:
+        items = []
+        for toks, (logp, b) in table.items():
+            pairs = [tok(t) for t in toks]
+            if any(p is None for p in pairs):
                 continue
-            h1 = np.uint32(0)
-            h2 = np.uint32(0)
-            with np.errstate(over="ignore"):
-                for c in ids:
-                    h1 = np.uint32(
-                        (np.uint32(h1 ^ np.uint32(c)) * _M1) & np.uint32(0xFFFFFFFF)
-                    )
-                    h1 = h1 ^ (h1 >> np.uint32(15))
-                    h2 = np.uint32(
-                        (np.uint32(h2 ^ np.uint32(c)) * _M2) & np.uint32(0xFFFFFFFF)
-                    )
-                    h2 = h2 ^ (h2 >> np.uint32(15))
-            slot = int(h1 % np.uint32(cap))
-            placed = False
-            for _ in range(n_probes):
-                if k1[slot] == 0 and k2[slot] == 0:
-                    k1[slot], k2[slot] = h1, h2
-                    lp[slot] = logp * ln10
-                    bo[slot] = b * ln10
-                    placed = True
-                    break
-                slot = (slot + 1) % cap
-            if not placed:  # grow-on-collision left for the Pallas pass
-                pass
-        keys.append((jnp.asarray(k1), jnp.asarray(k2)))
-        logps.append(jnp.asarray(lp))
-        backoffs.append(jnp.asarray(bo))
-    return (keys, logps, backoffs, order, n_probes)
+            h1, h2 = _np_fold_tokens(pairs)
+            items.append((h1, h2, logp * ln10, b * ln10))
+        k1, k2, lp, bo = _pack_table(items, n_probes)
+        keys1.append(k1)
+        keys2.append(k2)
+        logps.append(lp)
+        backoffs.append(bo)
+    return HashedTables(tuple(keys1), tuple(keys2), tuple(logps),
+                        tuple(backoffs), word_lm.order, n_probes)

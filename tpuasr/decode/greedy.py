@@ -19,15 +19,19 @@ import numpy as np
 from tpuasr.labels import Alphabet
 
 
-@jax.jit
-def greedy_best_path(logits: jnp.ndarray, lengths: jnp.ndarray):
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("blank_id",))
+def greedy_best_path(logits: jnp.ndarray, lengths: jnp.ndarray,
+                     blank_id: int = 0):
     """(B, T, C) logits (or log-probs — argmax is invariant) -> per-frame
     best ids (B, T) plus an emission mask (B, T) that is True exactly at
     frames contributing a character after CTC collapse."""
     ids = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B, T)
     prev = jnp.pad(ids, ((0, 0), (1, 0)), constant_values=-1)[:, :-1]
     t = jnp.arange(ids.shape[1], dtype=jnp.int32)[None, :]
-    emit = (ids != 0) & (ids != prev) & (t < lengths[:, None])
+    emit = (ids != blank_id) & (ids != prev) & (t < lengths[:, None])
     return ids, emit
 
 
@@ -40,7 +44,9 @@ class GreedyDecoder:
         self._blank = alphabet.blank_id
 
     def decode(self, logits, lengths, return_offsets: bool = False):
-        ids, emit = greedy_best_path(jnp.asarray(logits), jnp.asarray(lengths))
+        ids, emit = greedy_best_path(
+            jnp.asarray(logits), jnp.asarray(lengths), blank_id=self._blank
+        )
         ids = np.asarray(ids)
         emit = np.asarray(emit)
         texts, offsets = [], []

@@ -149,6 +149,19 @@ class ArpaLM:
         return total
 
 
+def load_lm(path: str) -> "ArpaLM":
+    """Load an n-gram LM from ARPA text or KenLM binary format
+    (detected by the KenLM mmap magic — reference users pass
+    ``lm.binary`` artifacts built by KenLM's build_binary)."""
+    with open(path, "rb") as f:
+        head = f.read(8)
+    if head.startswith(b"mmap lm"):
+        from tpuasr.decode.lm_binary import load_kenlm_binary
+
+        return load_kenlm_binary(path)
+    return ArpaLM.load(path)
+
+
 def train_ngram(
     corpus_lines: list[str],
     order: int = 3,

@@ -159,8 +159,12 @@ class MaskedBatchNorm(nn.Module):
             mean = jnp.sum(xf * m, axis=axes) / denom
             var = jnp.sum((xf - mean) ** 2 * m, axis=axes) / denom
             if not self.is_initializing():
+                # torch BatchNorm stores the UNBIASED variance (n/(n-1))
+                # in running_var; match that so eval-mode statistics
+                # interop with reference checkpoints.
+                unbiased = var * (denom / jnp.maximum(denom - 1.0, 1.0))
                 ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean
-                ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * var
+                ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * unbiased
         else:
             mean, var = ra_mean.value, ra_var.value
 

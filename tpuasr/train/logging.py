@@ -63,8 +63,9 @@ class MetricsLogger:
         rec = {"step": step, "time": time.time()}
         rec.update({f"{prefix}{k}": _to_float(v) for k, v in scalars.items()})
         if self._jsonl is not None:
+            # no per-line flush: the train loop flushes per sync window
+            # (a per-step fsync stalls the device dispatch pipeline)
             self._jsonl.write(json.dumps(rec) + "\n")
-            self._jsonl.flush()
         if self._tb is not None:
             for k, v in scalars.items():
                 self._tb.add_scalar(prefix + k, _to_float(v), step)
@@ -72,6 +73,10 @@ class MetricsLogger:
     def console(self, msg: str) -> None:
         if not self.quiet:
             print(msg, flush=True)
+
+    def flush(self):
+        if self._jsonl is not None:
+            self._jsonl.flush()
 
     def close(self):
         if self._jsonl is not None:

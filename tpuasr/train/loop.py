@@ -54,6 +54,11 @@ class LoopConfig:
     quiet: bool = False
     use_mesh: bool = True
     profile_dir: str | None = None  # JAX device trace of steps 10-15
+    # Host-sync cadence: metrics live on device and are materialized
+    # (blocking) only every N steps, so the device never waits on the
+    # host between syncs — the loop sustains the bare-step rate. 1
+    # reproduces the reference's per-iteration readout.
+    sync_every: int = 10
 
 
 def _device_batch(batch: Batch, mesh):
@@ -115,12 +120,18 @@ def train(
     histories = {"loss": [], "wer": [], "cer": []}
     best_wer = float("inf")
 
-    state = init_train_state(model_cfg, train_cfg, rng)
+    # Checkpoints are self-describing (SURVEY.md §5.4): on resume, adopt
+    # the package's model/frontend config + alphabet BEFORE building the
+    # params/opt_state template, so CLI flags that disagree with the
+    # checkpoint (e.g. --hidden-layers) can never produce a wrong-shape
+    # template or a confusing restore mismatch.
     if continue_from:
         pkg = load_checkpoint(continue_from)
         model_cfg = pkg.model_config
         frontend_cfg = pkg.frontend_config
         alphabet = pkg.alphabet
+    state = init_train_state(model_cfg, train_cfg, rng)
+    if continue_from:
         state = state.replace(
             params=jax.tree.map(
                 jnp.asarray,
@@ -180,9 +191,47 @@ def train(
         epoch_start = time.time()
         t_prev = time.time()
 
+        # Deferred host sync: steps dispatch asynchronously and their
+        # device-side metrics are drained in windows, so the TPU never
+        # idles waiting for a float() + JSONL write every iteration
+        # (round-1 weakness: per-step sync cost the sustained rate).
+        pending: list = []  # (iteration, batch_index, metrics_on_device, batch_size)
+        window_t0 = time.time()
+        window_data = 0.0
+
+        def drain(n_total: int):
+            nonlocal window_t0, window_data
+            if not pending:
+                return
+            n_steps = len(pending)
+            wall = time.time() - window_t0
+            per_step = wall / n_steps
+            per_data = window_data / n_steps
+            step_time.update(per_step, n=n_steps)
+            data_time.update(per_data, n=n_steps)
+            utts = sum(n for _, _, _, n in pending)
+            for it, _, m, n in pending:
+                vals = {k: float(v) for k, v in m.items()}
+                loss_meter.update(vals["loss"], n=n)
+                logger.log(it, {**vals, "lr": lr, "epoch": epoch,
+                                "step_time": per_step,
+                                "data_time": per_data}, prefix="train/")
+            i_cur = pending[-1][1]
+            logger.console(
+                f"Epoch {epoch} [{i_cur}/{n_total}] "
+                f"loss {loss_meter.val:.4f} (avg {loss_meter.avg:.4f}) "
+                f"step {per_step * 1e3:.0f}ms data {per_data * 1e3:.0f}ms "
+                f"({utts / max(wall, 1e-9):.1f} utt/s)"
+            )
+            pending.clear()
+            logger.flush()
+            window_t0 = time.time()
+            window_data = 0.0
+
+        n_total = train_loader.num_batches(epoch)
         for i, batch in enumerate(train_loader.epoch(epoch)):
             t_data = time.time()
-            data_time.update(t_data - t_prev)
+            window_data += t_data - t_prev
             waves, wave_lengths, labels, label_lengths, valid = _device_batch(
                 batch, mesh
             )
@@ -192,31 +241,23 @@ def train(
                 state, waves, wave_lengths, labels, label_lengths, valid,
                 jnp.float32(lr), step_rng,
             )
-            loss = float(metrics["loss"])
-            loss_meter.update(loss, n=batch.size)
             iteration += 1
             profiler.maybe_stop(iteration)
+            pending.append((iteration, i, metrics, batch.size))
             t_prev = time.time()
-            step_time.update(t_prev - t_data)
-            logger.log(iteration, {**{k: float(v) for k, v in metrics.items()},
-                                   "lr": lr, "epoch": epoch,
-                                   "step_time": step_time.val,
-                                   "data_time": data_time.val}, prefix="train/")
-            if i % 10 == 0:
-                logger.console(
-                    f"Epoch {epoch} [{i}/{train_loader.num_batches(epoch)}] "
-                    f"loss {loss:.4f} (avg {loss_meter.avg:.4f}) "
-                    f"step {step_time.val * 1e3:.0f}ms data {data_time.val * 1e3:.0f}ms"
-                )
+            if len(pending) >= max(loop_cfg.sync_every, 1):
+                drain(n_total)
             if (
                 loop_cfg.checkpoint_per_batch
                 and loop_cfg.save_folder
                 and (i + 1) % loop_cfg.checkpoint_per_batch == 0
             ):
+                drain(n_total)
                 save_checkpoint(
                     f"{loop_cfg.save_folder}/tpuasr_e{epoch}_b{i + 1}.ckpt",
                     make_pkg(epoch),
                 )
+        drain(n_total)
 
         histories["loss"].append(loss_meter.avg)
         wer, cer = float("nan"), float("nan")
