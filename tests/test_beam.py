@@ -105,6 +105,22 @@ def test_arpa_roundtrip(tmp_path):
     assert s <= 1.5
 
 
+def test_train_ngram_is_normalized():
+    """train_ngram is a real lmplz replacement: P(.|h) sums to 1 for
+    every context (exact Katz backoff weights), not just 'sane'."""
+    lines = ["AB C AB", "C C AB", "AB AB", "C AB C AB", "AB"]
+    lm = train_ngram(lines, order=3)
+    vocab = sorted(lm.vocab)  # includes <unk> and </s>, not <s>
+    assert "<unk>" in vocab and "</s>" in vocab and "<s>" not in vocab
+    contexts = [(), ("<s>",), ("AB",), ("C",), ("<unk>",),
+                ("<s>", "AB"), ("AB", "C"), ("C", "AB"), ("C", "C"),
+                ("ZZZ",), ("AB", "ZZZ")]
+    for ctx in contexts:
+        s = sum(10 ** lm.score_word(ctx, w) for w in vocab)
+        np.testing.assert_allclose(s, 1.0, rtol=1e-6,
+                                   err_msg=f"ctx={ctx} sum={s}")
+
+
 def test_beam_ctc_decoder_api():
     rng = np.random.RandomState(2)
     logits = jnp.asarray(rng.randn(2, 6, 5).astype(np.float32))

@@ -45,27 +45,48 @@ class _MaskConvNet(tnn.Module):
 
 
 class _BatchRNN(tnn.Module):
-    def __init__(self, in_size, hidden, batch_norm):
+    def __init__(self, in_size, hidden, batch_norm, bidirectional=True):
         super().__init__()
         self.batch_norm = (
             _SeqWrap(tnn.BatchNorm1d(in_size)) if batch_norm else None
         )
-        self.rnn = tnn.GRU(in_size, hidden, bidirectional=True, bias=True)
+        self.bidirectional = bidirectional
+        self.rnn = tnn.GRU(in_size, hidden, bidirectional=bidirectional,
+                           bias=True)
 
     def forward(self, x):  # x: (T, B, H_in)
         if self.batch_norm is not None:
             t, b, h = x.shape
             x = self.batch_norm.module(x.reshape(t * b, h)).reshape(t, b, h)
         x, _ = self.rnn(x)
-        t, b, h2 = x.shape
-        x = x.view(t, b, 2, h2 // 2).sum(2)  # direction-sum
+        if self.bidirectional:
+            t, b, h2 = x.shape
+            x = x.view(t, b, 2, h2 // 2).sum(2)  # direction-sum
         return x
+
+
+class _Lookahead(tnn.Module):
+    """ref:model.py Lookahead (from spec): per-feature convolution over
+    the current + next context-1 frames; weight key 'lookahead.0.weight'
+    (grouped-conv layout (H, 1, K))."""
+
+    def __init__(self, h, context):
+        super().__init__()
+        self.context = context
+        self.weight = tnn.Parameter(torch.randn(h, 1, context) * 0.1)
+
+    def forward(self, x):  # (T, B, H)
+        x = x.permute(1, 2, 0)  # (B, H, T)
+        x = torch.nn.functional.pad(x, (0, self.context - 1))
+        x = torch.nn.functional.conv1d(x, self.weight, groups=x.shape[1])
+        return x.permute(2, 0, 1)
 
 
 class _TorchDS2(tnn.Module):
     """deepspeech.pytorch-family architecture, written from the spec."""
 
-    def __init__(self, n_feat=161, hidden=32, layers=2, n_class=10):
+    def __init__(self, n_feat=161, hidden=32, layers=2, n_class=10,
+                 bidirectional=True, lookahead_context=0):
         super().__init__()
         self.conv = _MaskConvNet()
         f_out = ((n_feat + 2 * 20 - 41) // 2 + 1)
@@ -74,8 +95,16 @@ class _TorchDS2(tnn.Module):
         rnns = []
         for i in range(layers):
             rnns.append(_BatchRNN(in_size if i == 0 else hidden, hidden,
-                                  batch_norm=(i > 0)))
+                                  batch_norm=(i > 0),
+                                  bidirectional=bidirectional))
         self.rnns = tnn.ModuleList(rnns)
+        if not bidirectional and lookahead_context > 0:
+            self.lookahead = tnn.Sequential(
+                _Lookahead(hidden, lookahead_context),
+                tnn.Hardtanh(0, 20, inplace=False),
+            )
+        else:
+            self.lookahead = None
         self.fc = tnn.ModuleList([
             _SeqWrap(tnn.Sequential(
                 tnn.BatchNorm1d(hidden),
@@ -89,6 +118,8 @@ class _TorchDS2(tnn.Module):
         x = x.view(b, c * f, t).permute(2, 0, 1)  # (T, B, C*F)
         for rnn in self.rnns:
             x = rnn(x)
+        if self.lookahead is not None:
+            x = self.lookahead(x)
         t, b, h = x.shape
         x = self.fc[0].module(x.reshape(t * b, h)).reshape(t, b, -1)
         return x.transpose(0, 1)  # (B, T, C) raw logits
@@ -128,6 +159,159 @@ def test_logits_parity_b1(t_in):
     t_out = int(out_len[0])
     assert ref.shape[1] == t_out
     np.testing.assert_allclose(ours[0, :t_out], ref[0], rtol=2e-4, atol=2e-4)
+
+
+def test_logits_parity_unidirectional_lookahead():
+    """Import matrix completion (VERDICT r1 item 9): a unidirectional
+    reference model WITH Lookahead conv weights imports cleanly and
+    matches logits."""
+    torch.manual_seed(7)
+    tm = _TorchDS2(hidden=32, layers=2, n_class=10, bidirectional=False,
+                   lookahead_context=5).eval()
+    with torch.no_grad():
+        for m in tm.modules():
+            if isinstance(m, (tnn.BatchNorm1d, tnn.BatchNorm2d)):
+                m.running_mean.uniform_(-0.5, 0.5)
+                m.running_var.uniform_(0.5, 1.5)
+
+    cfg = ModelConfig(n_classes=10, hidden_size=32, hidden_layers=2,
+                      bidirectional=False, lookahead_context=5,
+                      compute_dtype=jnp.float32)
+    variables, unused = import_torch_state_dict(tm.state_dict(), cfg)
+    assert unused == [], unused
+
+    rng = np.random.RandomState(2)
+    t_in = 40
+    feats = rng.randn(1, t_in, 161).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(feats.transpose(0, 2, 1))[:, None]).numpy()
+    model = DeepSpeech2(cfg)
+    ours, out_len = model.apply(
+        jax.tree.map(jnp.asarray, variables),
+        jnp.asarray(feats), jnp.asarray(np.array([t_in], np.int32)),
+        train=False,
+    )
+    t_out = int(out_len[0])
+    np.testing.assert_allclose(np.asarray(ours)[0, :t_out], ref[0],
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_load_unidirectional_package(tmp_path):
+    """A unidirectional .pth package adopts its lookahead width from
+    the stored weights (no side config)."""
+    from tpuasr.compat.torch_import import load_torch_package
+
+    torch.manual_seed(8)
+    tm = _TorchDS2(hidden=32, layers=1, n_class=12, bidirectional=False,
+                   lookahead_context=7).eval()
+    pth = str(tmp_path / "uni.pth")
+    torch.save({
+        "hidden_size": 32, "hidden_layers": 1, "rnn_type": "gru",
+        "bidirectional": False, "labels": list("_'ABCDEFGHIJ "),
+        "audio_conf": {"sample_rate": 16000},
+        "state_dict": tm.state_dict(),
+    }, pth)
+    pkg = load_torch_package(pth)
+    assert pkg.model_config.bidirectional is False
+    assert pkg.model_config.lookahead_context == 7
+    assert "lookahead" in pkg.variables["params"]
+
+
+def test_finetune_bn_drift_bounded():
+    """Quantify the documented MaskedBatchNorm deviation (stats exclude
+    padding; the reference includes it): finetune the SAME imported
+    weights 10 steps in both frameworks on a PADDED batch and bound the
+    loss-trajectory divergence. Unpadded trajectories match to ~1e-3
+    (test_train_parity); this pins the padding-induced drift."""
+    import optax
+    from tpuasr.ctc.loss import ctc_loss
+    from tpuasr.model.ds2 import conv_out_lengths
+
+    torch.manual_seed(9)
+    n_class, b, t_in = 8, 4, 30
+    tm = _TorchDS2(hidden=32, layers=2, n_class=n_class)
+    cfg = ModelConfig(n_classes=n_class, hidden_size=32, hidden_layers=2,
+                      compute_dtype=jnp.float32)
+    variables, unused = import_torch_state_dict(tm.state_dict(), cfg)
+    assert unused == []
+
+    rng = np.random.RandomState(13)
+    feats = rng.randn(b, t_in, 161).astype(np.float32)
+    lengths = np.array([30, 24, 18, 12], np.int32)
+    for j, l in enumerate(lengths):
+        feats[j, l:] = 0.0  # reference collate zero-pads
+    out_lens = np.array([int(conv_out_lengths(int(l))) for l in lengths])
+    lab_len = 3
+    labels = rng.randint(1, n_class, size=(b, lab_len)).astype(np.int32)
+
+    lr, momentum = 3e-4, 0.9
+
+    # torch (reference semantics: BN over padding too, no RNN masking)
+    crit = tnn.CTCLoss(blank=0, reduction="sum")
+    opt = torch.optim.SGD(tm.parameters(), lr=lr, momentum=momentum,
+                          nesterov=True)
+    x_t = torch.from_numpy(feats.transpose(0, 2, 1))[:, None]
+    tgt = torch.from_numpy(labels.astype(np.int64))
+    ref_losses = []
+    tm.train()
+    for _ in range(10):
+        opt.zero_grad()
+        logits = tm(x_t)
+        logp = torch.log_softmax(logits, -1).transpose(0, 1)
+        loss = crit(logp, tgt, torch.from_numpy(out_lens),
+                    torch.full((b,), lab_len, dtype=torch.long)) / b
+        loss.backward()
+        torch.nn.utils.clip_grad_norm_(tm.parameters(), 400.0)
+        opt.step()
+        ref_losses.append(float(loss))
+
+    # tpuasr (masked BN)
+    model = DeepSpeech2(cfg)
+    tx = optax.chain(optax.clip_by_global_norm(400.0),
+                     optax.trace(decay=momentum, nesterov=True))
+    params = jax.tree.map(jnp.asarray, variables["params"])
+    batch_stats = jax.tree.map(jnp.asarray, variables["batch_stats"])
+    opt_state = tx.init(params)
+    featsj = jnp.asarray(feats)
+    lensj = jnp.asarray(lengths)
+    labelsj = jnp.asarray(labels)
+    lab_lens = jnp.full((b,), lab_len, jnp.int32)
+
+    @jax.jit
+    def step(params, batch_stats, opt_state):
+        def loss_fn(p):
+            (logits, out_lengths), updates = model.apply(
+                {"params": p, "batch_stats": batch_stats},
+                featsj, lensj, train=True, mutable=["batch_stats"],
+            )
+            per_utt = ctc_loss(logits, out_lengths, labelsj, lab_lens)
+            return jnp.mean(per_utt), updates["batch_stats"]
+
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params)
+        updates, new_opt = tx.update(grads, opt_state, params)
+        updates = jax.tree.map(lambda u: -lr * u, updates)
+        return optax.apply_updates(params, updates), new_stats, new_opt, loss
+
+    our_losses = []
+    for _ in range(10):
+        params, batch_stats, opt_state, loss = step(params, batch_stats,
+                                                    opt_state)
+        our_losses.append(float(loss))
+
+    rel = [abs(a - r) / abs(r) for a, r in zip(our_losses, ref_losses)]
+    print("padded-finetune loss rel-divergence per step:",
+          [round(x, 4) for x in rel])
+    # Measured (2026-08-16, lengths 30/24/18/12 i.e. ~45% padding):
+    # ~7% at step 0 growing to ~23% by step 10 — the sum of masked-BN
+    # stats (ours excludes padding, reference includes it) and masked
+    # RNN carry (ours freezes the hidden state past each utterance's
+    # length, the reference lets it run over padding). With NO padding
+    # the trajectories match to 1e-3 (test_train_parity). Bound the
+    # measured deviation so a regression (e.g. a masking bug) trips it.
+    assert max(rel) < 0.35, (our_losses, ref_losses)
+    assert our_losses[-1] < our_losses[0]
+    assert ref_losses[-1] < ref_losses[0]
 
 
 def test_load_torch_package(tmp_path):

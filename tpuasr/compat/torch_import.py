@@ -37,7 +37,10 @@ from tpuasr.model.ds2 import ModelConfig, conv_out_features
 def _np(x) -> np.ndarray:
     if hasattr(x, "detach"):
         x = x.detach().cpu().numpy()
-    return np.asarray(x, dtype=np.float32)
+    # copy=True: torch optimizers update parameters IN PLACE and
+    # tensor.numpy() shares memory — an imported tree must be a
+    # snapshot, not a live view of the torch model.
+    return np.array(x, dtype=np.float32, copy=True)
 
 
 def import_torch_state_dict(
@@ -137,6 +140,20 @@ def import_torch_state_dict(
         if layer_s:
             stats[f"rnn{i}"] = layer_s
 
+    # ---- lookahead (unidirectional models only; ref:model.py
+    # Lookahead wrapped in nn.Sequential with Hardtanh) ----
+    if not cfg.bidirectional:
+        for key in ("lookahead.0.weight", "lookahead.weight"):
+            if key in sd:
+                w = take(key)
+                if w.ndim == 2:  # old Parameter style (H, K)
+                    w = w[:, None, :]
+                # torch (H, 1, K) grouped conv -> flax kernel (K, 1, H)
+                params["lookahead"] = {
+                    "Conv_0": {"kernel": w.transpose(2, 1, 0)}
+                }
+                break
+
     # ---- head: SequenceWise(BN -> Linear) ----
     params["head_bn"] = {
         "scale": take("fc.0.module.0.weight"),
@@ -177,13 +194,25 @@ def load_torch_package(path: str):
         window_stride=float(audio_conf.get("window_stride", 0.01)),
         window=str(audio_conf.get("window", "hamming")),
     )
+    bidirectional = bool(pkg.get("bidirectional", True))
+    # unidirectional models: adopt the lookahead kernel width from the
+    # checkpoint's own weights (the package has no explicit field)
+    lookahead_context = 20
+    if not bidirectional:
+        for key in ("lookahead.0.weight", "lookahead.weight"):
+            if key in pkg["state_dict"]:
+                lookahead_context = int(pkg["state_dict"][key].shape[-1])
+                break
+        else:
+            lookahead_context = 0
     model_cfg = ModelConfig(
         n_classes=len(labels),
         n_features=frontend_cfg.n_features,
         hidden_size=int(pkg.get("hidden_size", 800)),
         hidden_layers=int(pkg.get("hidden_layers", 5)),
         rnn_type=str(pkg.get("rnn_type", "gru")).lower(),
-        bidirectional=bool(pkg.get("bidirectional", True)),
+        bidirectional=bidirectional,
+        lookahead_context=lookahead_context,
     )
     variables, unused = import_torch_state_dict(pkg["state_dict"], model_cfg)
     if unused:

@@ -666,9 +666,12 @@ def _pack_table(items, n_probes: int):
 def pack_lm_tables(char_lm, alphabet: Alphabet) -> HashedTables:
     """Convert a char-level ArpaLM into device arrays keyed by the
     SAME rolling 2x32-bit hashes the kernel computes over class ids."""
-    from tpuasr.decode.lm import ArpaLM
-
-    assert isinstance(char_lm, ArpaLM)
+    if getattr(char_lm, "ngrams", None) is None:
+        raise ValueError(
+            "device LM fusion needs an enumerable LM (ARPA text); a "
+            "KenLM probing binary stores only opaque hashes — convert "
+            "to ARPA or use the host/native beam decoder"
+        )
     import math as _math
 
     ln10 = _math.log(10.0)
@@ -727,9 +730,12 @@ def pack_word_lm_tables(word_lm, alphabet: Alphabet) -> HashedTables:
     characters don't round-trip through the alphabet (e.g. a lowercase
     LM against an uppercase alphabet — the host oracle treats those
     words as OOV too) are skipped as unreachable."""
-    from tpuasr.decode.lm import ArpaLM
-
-    assert isinstance(word_lm, ArpaLM)
+    if getattr(word_lm, "ngrams", None) is None:
+        raise ValueError(
+            "device LM fusion needs an enumerable LM (ARPA text); a "
+            "KenLM probing binary stores only opaque hashes — convert "
+            "to ARPA or use the host/native beam decoder"
+        )
     import math as _math
 
     ln10 = _math.log(10.0)

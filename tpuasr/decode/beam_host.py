@@ -162,8 +162,10 @@ class BeamCTCDecoder:
         cutoff_prob: float = 1.0,
         num_processes: int = 1,
     ):
+        from tpuasr.decode.lm import load_lm
+
         self.alphabet = alphabet
-        self.lm = ArpaLM.load(lm_path) if lm_path else None
+        self.lm = load_lm(lm_path) if lm_path else None  # ARPA or KenLM binary
         self.alpha = alpha
         self.beta = beta
         self.beam_width = beam_width

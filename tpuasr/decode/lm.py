@@ -168,10 +168,20 @@ def train_ngram(
     add_k: float = 0.01,
     min_count: int = 1,
 ) -> ArpaLM:
-    """Build a backoff n-gram LM from tokenized lines (words split on
-    whitespace). Interpolated add-k smoothing with absolute-discount
-    style backoff weights — small and dependency-free (replaces the
-    external KenLM lmplz step for users without one)."""
+    """Build a PROPERLY NORMALIZED backoff n-gram LM from tokenized
+    lines (words split on whitespace) — the in-framework replacement
+    for KenLM's lmplz (this environment has no KenLM and no network).
+
+    Construction: add-k conditionals at each order over the seen
+    n-grams (every vocab word gets an explicit unigram, so the unigram
+    row sums to exactly 1), then exact Katz backoff weights computed
+    bottom-up:
+
+        bo(h) = (1 - sum_seen p(w|h)) / (1 - sum_seen P(w|h'))
+
+    which makes sum_w P(w|h) = 1 for EVERY context (tested), instead of
+    the round-1 leftover-mass approximation.
+    """
     counts = [defaultdict(int) for _ in range(order)]
     for line in corpus_lines:
         toks = [BOS] + line.split() + [EOS]
@@ -203,26 +213,37 @@ def train_ngram(
 
     v_size = len(vocab)
     ngrams: list[dict] = [dict() for _ in range(order)]
-    for k in range(order):
+    # unigrams: explicit entry for EVERY vocab word -> the unigram row
+    # sums to exactly 1 (unseen words, e.g. <unk>, get the add-k floor)
+    n_total = sum(counts[0].values())
+    for w in sorted(vocab):
+        c = counts[0].get((w,), 0)
+        p = (c + add_k) / (n_total + add_k * v_size)
+        ngrams[0][(w,)] = (math.log10(p), 0.0)
+    for k in range(1, order):
         for key, c in counts[k].items():
             denom = ctx_totals[k][key[:-1]] + add_k * v_size
             p = (c + add_k) / denom
             ngrams[k][key] = (math.log10(p), 0.0)
-    # backoff weights: leftover mass / leftover lower-order mass (approx)
-    for k in range(order - 1):
-        for ctx in ctx_totals[k + 1]:
-            seen_mass = sum(
-                10 ** ngrams[k + 1][ctx + (w,)][0]
-                for w in vocab
-                if ctx + (w,) in ngrams[k + 1]
-            )
-            bo = max(1.0 - seen_mass, 1e-6)
-            if ctx in ngrams[k]:
-                logp, _ = ngrams[k][ctx]
-                ngrams[k][ctx] = (logp, math.log10(bo))
-            elif ctx == (BOS,):
-                ngrams[k][ctx] = (LOG10_EPS, math.log10(bo))
-    return ArpaLM(ngrams, order)
+
+    # exact Katz backoff weights, bottom-up over context lengths so
+    # each level's denominator scores through already-final lower levels
+    lm = ArpaLM(ngrams, order)
+    for m in range(1, order):  # context length
+        by_ctx: dict = defaultdict(list)
+        for key in ngrams[m]:
+            by_ctx[key[:-1]].append(key[-1])
+        for ctx in sorted(by_ctx):
+            seen = by_ctx[ctx]
+            num = 1.0 - sum(10 ** ngrams[m][ctx + (w,)][0] for w in seen)
+            den = 1.0 - sum(10 ** lm.score_word(ctx[1:], w) for w in seen)
+            bo = max(num, 1e-9) / max(den, 1e-9)
+            if ctx in ngrams[m - 1]:
+                logp, _ = ngrams[m - 1][ctx]
+            else:  # context never an outcome itself, e.g. (<s>,)
+                logp = LOG10_EPS
+            ngrams[m - 1][ctx] = (logp, math.log10(bo))
+    return lm
 
 
 # ---------- device-resident hashed representation ----------

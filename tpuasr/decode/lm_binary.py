@@ -1,0 +1,355 @@
+"""KenLM binary (probing format) reader + writer.
+
+Reference parity: the reference passes KenLM artifacts — either ARPA
+text or ``lm.binary`` built by KenLM's ``build_binary`` — to ctcdecode
+(ref:decoder.py BeamCTCDecoder ``lm_path``; SURVEY.md §3.2 KenLM row).
+This module lets those binary artifacts load without KenLM installed.
+
+Scope and honesty notes (KenLM itself is unavailable in this
+environment, so byte-level compatibility could not be validated
+against a real artifact; the layout below is a documented best-effort
+reconstruction of KenLM's PROBING model, format version 5):
+
+  * Sanity header (88 bytes): magic string ``mmap lm http://kheafield.
+    com/code format version 5\\n`` + float/int endianness probes.
+  * FixedWidthParameters: order, probing multiplier, model type
+    (0 = PROBING — the only type supported here; TRIE variants raise),
+    has-vocabulary flag, search version; then uint64 counts per order.
+  * ProbingVocabulary: an 8-byte header, then an open-addressed table
+    of (uint64 MurmurHash64A(word), uint32 id) entries.
+  * Unigrams: a flat (float prob, float backoff) array indexed by id.
+  * Middle orders: open-addressed (uint64 key, float prob, float
+    backoff) tables; longest order drops the backoff. Keys chain the
+    newest word id first, then context ids nearest-first, through
+    ``combine_word_hash``.
+  * Vocabulary strings ('\\0'-separated, id order) at the end of the
+    file when has-vocabulary is set.
+
+``KenlmBinaryLM`` scores through the same ``score_word(context, word)
+-> log10`` interface as ``ArpaLM`` (Katz backoff), so the host and
+native beam decoders accept it directly. The on-device word fusion
+needs enumerable n-grams to build its own hashed tables and a probing
+binary stores only opaque hashes — pass ARPA text for ``beam-device``
+(a clear error says so).
+
+A matching ``write_kenlm_binary`` exists so the roundtrip is testable
+offline and so users can convert ARPA -> binary for fast reloads.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import numpy as np
+
+MAGIC = b"mmap lm http://kheafield.com/code format version 5\n\x00"
+MAGIC_PAD = 56  # ALIGN8(len(MAGIC)); len(MAGIC) == 53
+SANITY_SIZE = 88
+FIXED_SIZE = 20
+PROBING_MULTIPLIER = 1.5
+LOG10_EPS = -99.0
+
+_MUR_M = 0xC6A4A7935BD1E995
+_MASK = (1 << 64) - 1
+
+
+def murmur_hash64a(data: bytes, seed: int = 0) -> int:
+    """MurmurHash64A (the hash KenLM uses for vocabulary strings)."""
+    m = _MUR_M
+    r = 47
+    h = (seed ^ (len(data) * m)) & _MASK
+    n8 = len(data) // 8
+    for i in range(n8):
+        (k,) = struct.unpack_from("<Q", data, i * 8)
+        k = (k * m) & _MASK
+        k ^= k >> r
+        k = (k * m) & _MASK
+        h ^= k
+        h = (h * m) & _MASK
+    tail = data[n8 * 8:]
+    if tail:
+        h ^= int.from_bytes(tail, "little")
+        h = (h * m) & _MASK
+    h ^= h >> r
+    h = (h * m) & _MASK
+    h ^= h >> r
+    return h
+
+
+def combine_word_hash(current: int, word_id: int) -> int:
+    """KenLM's n-gram key chain step (search_hashed)."""
+    return (
+        (current * 8978948897894561157) ^ ((1 + word_id) * 17894857484156487943)
+    ) & _MASK
+
+
+def ngram_key(ids: list[int]) -> int:
+    """Key for an n-gram given ids oldest-first: chain starts at the
+    NEWEST word, then folds context ids nearest-first."""
+    h = ids[-1] & _MASK
+    for w in reversed(ids[:-1]):
+        h = combine_word_hash(h, w)
+    return h or 1  # 0 marks an empty slot
+
+
+def _buckets(entries: int, multiplier: float = PROBING_MULTIPLIER) -> int:
+    return max(entries + 1, int(math.ceil(multiplier * entries)))
+
+
+class _Probing:
+    """Open-addressed uint64-keyed table over parallel numpy arrays."""
+
+    def __init__(self, keys: np.ndarray, *values: np.ndarray):
+        self.keys = keys
+        self.values = values
+        self.cap = len(keys)
+
+    def find(self, key: int):
+        slot = key % self.cap
+        for _ in range(self.cap):
+            k = int(self.keys[slot])
+            if k == key:
+                return tuple(float(v[slot]) for v in self.values)
+            if k == 0:
+                return None
+            slot = (slot + 1) % self.cap
+        return None
+
+    def insert(self, key: int, *vals: float) -> None:
+        slot = key % self.cap
+        while int(self.keys[slot]) != 0:
+            slot = (slot + 1) % self.cap
+        self.keys[slot] = np.uint64(key)
+        for arr, v in zip(self.values, vals):
+            arr[slot] = v
+
+
+class KenlmBinaryLM:
+    """Probing-format n-gram LM scored via hash lookups; ArpaLM-duck-
+    typed (``order``, ``vocab``, ``score_word``, ``score_sequence``)."""
+
+    def __init__(self, order, counts, word_to_id, unigrams, middles,
+                 longest):
+        self.order = order
+        self.counts = counts
+        self.word_to_id = word_to_id
+        self.vocab = set(word_to_id)
+        self.unigrams = unigrams  # (counts[0], 2) float32 [prob, backoff]
+        self.middles = middles  # list of _Probing(key, prob, backoff)
+        self.longest = longest  # _Probing(key, prob) or None
+
+    # n-grams are stored as opaque hashes: no enumeration possible.
+    ngrams = None
+
+    def _id(self, token: str) -> int | None:
+        return self.word_to_id.get(token)
+
+    def _lookup(self, ids: list[int]):
+        """(logp, backoff) of an exact n-gram, or None."""
+        n = len(ids)
+        if n == 1:
+            i = ids[0]
+            if 0 <= i < len(self.unigrams):
+                return float(self.unigrams[i, 0]), float(self.unigrams[i, 1])
+            return None
+        key = ngram_key(ids)
+        if n == self.order:
+            hit = self.longest.find(key) if self.longest is not None else None
+            return (hit[0], 0.0) if hit is not None else None
+        table = self.middles[n - 2]
+        hit = table.find(key)
+        return (hit[0], hit[1]) if hit is not None else None
+
+    def score_word(self, context: tuple, word: str) -> float:
+        """log10 P(word | context), Katz backoff — the ArpaLM contract
+        (tpuasr.decode.lm.ArpaLM.score_word)."""
+        unk = self._id("<unk>")
+        wid = self._id(word)
+        if wid is None:
+            wid = unk
+        ctx_ids = [
+            self._id(t) if self._id(t) is not None else unk for t in context
+        ]
+        ctx_ids = [c for c in ctx_ids if c is not None]
+        if self.order > 1:
+            ctx_ids = ctx_ids[-(self.order - 1):]
+        else:
+            ctx_ids = []
+        if wid is None:
+            return LOG10_EPS
+        total_bo = 0.0
+        while True:
+            hit = self._lookup(ctx_ids + [wid])
+            if hit is not None:
+                return total_bo + hit[0]
+            if not ctx_ids:
+                return total_bo + LOG10_EPS
+            bo_hit = self._lookup(ctx_ids)
+            if bo_hit is not None:
+                total_bo += bo_hit[1]
+            ctx_ids = ctx_ids[1:]
+
+    def score_sequence(self, words: list[str], bos: bool = True) -> float:
+        context: tuple = ("<s>",) if bos else ()
+        total = 0.0
+        for w in words:
+            total += self.score_word(context, w)
+            context = (context + (w,))
+            if self.order > 1:
+                context = context[-(self.order - 1):]
+        return total
+
+
+def write_kenlm_binary(lm, path: str) -> None:
+    """Serialize an ArpaLM into the probing binary layout above."""
+    order = lm.order
+    counts = [len(t) for t in lm.ngrams]
+
+    # vocabulary: <unk> must be id 0; then <s>, </s>, then the rest in
+    # unigram iteration order.
+    words = ["<unk>", "<s>", "</s>"]
+    seen = set(words)
+    for (w,) in lm.ngrams[0]:
+        if w not in seen:
+            seen.add(w)
+            words.append(w)
+    counts[0] = len(words)
+    word_to_id = {w: i for i, w in enumerate(words)}
+
+    with open(path, "wb") as f:
+        magic = MAGIC + b"\x00" * (MAGIC_PAD - len(MAGIC))
+        f.write(magic)
+        f.write(struct.pack("<fff", 0.0, 1.0, -0.5))
+        f.write(struct.pack("<II", 1, 0xFFFFFFFF))
+        f.write(struct.pack("<xxxx"))  # align uint64 to offset 80
+        f.write(struct.pack("<Q", 1))
+        assert f.tell() == SANITY_SIZE
+        # FixedWidthParameters: order, multiplier, type=0 (probing),
+        # has_vocabulary, search version
+        f.write(struct.pack("<BxxxfIBxxxI", order, PROBING_MULTIPLIER,
+                            0, 1, 0))
+        assert f.tell() == SANITY_SIZE + FIXED_SIZE
+        for c in counts:
+            f.write(struct.pack("<Q", c))
+        pad = (-f.tell()) % 8
+        f.write(b"\x00" * pad)
+
+        # vocabulary hash table
+        vcap = _buckets(counts[0])
+        f.write(struct.pack("<II", 0, counts[0]))  # vocab header
+        vkeys = np.zeros(vcap, np.uint64)
+        vids = np.zeros(vcap, np.uint32)
+        vt = _Probing(vkeys, vids)
+        for w, i in word_to_id.items():
+            h = murmur_hash64a(w.encode("utf-8")) or 1
+            vt.insert(h, i)
+        buf = np.zeros(vcap, dtype=[("k", "<u8"), ("v", "<u4")])
+        buf["k"], buf["v"] = vkeys, vids
+        f.write(buf.tobytes())
+
+        # unigrams: flat (prob, backoff) by id
+        uni = np.full((counts[0], 2), [LOG10_EPS, 0.0], np.float32)
+        for (w,), (logp, bo) in lm.ngrams[0].items():
+            i = word_to_id[w]
+            uni[i] = [logp, bo]
+        f.write(uni.astype("<f4").tobytes())
+
+        # middle + longest tables
+        for k in range(1, order):
+            cap = _buckets(max(counts[k], 1))
+            keys = np.zeros(cap, np.uint64)
+            probs = np.zeros(cap, np.float32)
+            bos_ = np.zeros(cap, np.float32)
+            t = _Probing(keys, probs, bos_)
+            for toks, (logp, bo) in lm.ngrams[k].items():
+                ids = [word_to_id.get(w, 0) for w in toks]
+                t.insert(ngram_key(ids), logp, bo)
+            if k == order - 1:
+                buf = np.zeros(cap, dtype=[("k", "<u8"), ("p", "<f4")])
+                buf["k"], buf["p"] = keys, probs
+            else:
+                buf = np.zeros(
+                    cap, dtype=[("k", "<u8"), ("p", "<f4"), ("b", "<f4")]
+                )
+                buf["k"], buf["p"], buf["b"] = keys, probs, bos_
+            f.write(buf.tobytes())
+
+        # vocabulary strings, id order
+        f.write(b"\x00".join(w.encode("utf-8") for w in words) + b"\x00")
+
+
+def load_kenlm_binary(path: str) -> KenlmBinaryLM:
+    with open(path, "rb") as f:
+        data = f.read()
+    if not data.startswith(b"mmap lm"):
+        raise ValueError(f"{path}: not a KenLM binary (no mmap magic)")
+    if b"format version 5" not in data[:MAGIC_PAD]:
+        raise ValueError(
+            f"{path}: unsupported KenLM binary version (only format "
+            f"version 5 is readable); regenerate, or pass ARPA text"
+        )
+    off = SANITY_SIZE
+    order, multiplier, model_type, has_vocab, _search = struct.unpack_from(
+        "<BxxxfIBxxxI", data, off
+    )
+    off += FIXED_SIZE
+    if model_type != 0:
+        raise ValueError(
+            f"{path}: model type {model_type} (trie?) is not supported; "
+            f"rebuild with the probing data structure or pass ARPA text"
+        )
+    counts = list(struct.unpack_from(f"<{order}Q", data, off))
+    off += 8 * order
+    off += (-off) % 8
+
+    # vocabulary table (hash -> id); ids also come from the strings
+    # section below, which is authoritative when present.
+    _vver, _vbound = struct.unpack_from("<II", data, off)
+    off += 8
+    vcap = _buckets(counts[0], multiplier)
+    ventries = np.frombuffer(
+        data, dtype=[("k", "<u8"), ("v", "<u4")], count=vcap, offset=off
+    )
+    off += ventries.nbytes
+
+    uni = np.frombuffer(
+        data, dtype="<f4", count=counts[0] * 2, offset=off
+    ).reshape(counts[0], 2).copy()
+    off += counts[0] * 8
+
+    middles, longest = [], None
+    for k in range(1, order):
+        cap = _buckets(max(counts[k], 1), multiplier)
+        if k == order - 1:
+            ent = np.frombuffer(
+                data, dtype=[("k", "<u8"), ("p", "<f4")], count=cap,
+                offset=off,
+            )
+            longest = _Probing(ent["k"].copy(), ent["p"].copy())
+        else:
+            ent = np.frombuffer(
+                data, dtype=[("k", "<u8"), ("p", "<f4"), ("b", "<f4")],
+                count=cap, offset=off,
+            )
+            middles.append(
+                _Probing(ent["k"].copy(), ent["p"].copy(), ent["b"].copy())
+            )
+        off += ent.nbytes
+
+    word_to_id: dict = {}
+    if has_vocab and off < len(data):
+        strings = data[off:].split(b"\x00")
+        wid = 0
+        for s in strings:
+            if not s:
+                continue
+            word_to_id[s.decode("utf-8", errors="replace")] = wid
+            wid += 1
+    if not word_to_id:
+        raise ValueError(
+            f"{path}: no vocabulary strings present (built with "
+            f"write_vocab off?) — string-based scoring is impossible; "
+            f"pass ARPA text instead"
+        )
+    return KenlmBinaryLM(order, counts, word_to_id, uni, middles, longest)

@@ -102,6 +102,14 @@ class NativeBeamDecoder:
         lib = _load_lib()
         self._lm = None
         if lm_path:
+            with open(lm_path, "rb") as f:
+                if f.read(8).startswith(b"mmap lm"):
+                    raise ValueError(
+                        "the native decoder needs enumerable n-grams to "
+                        "build its hash tables; a KenLM probing binary "
+                        "stores only opaque hashes — convert to ARPA or "
+                        "use --decoder beam (host, reads KenLM binaries)"
+                    )
             bin_path = lm_path + ".tpuasrlm"
             if not os.path.exists(bin_path) or (
                 os.path.getmtime(bin_path) < os.path.getmtime(lm_path)

@@ -535,6 +535,7 @@ class DeepSpeech2(nn.Module):
                 context=cfg.lookahead_context,
                 compute_dtype=cfg.compute_dtype,
                 param_dtype=cfg.param_dtype,
+                name="lookahead",
             )(x)
 
         mask = _time_mask(out_lengths, x.shape[1])
