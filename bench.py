@@ -23,7 +23,7 @@ import time
 import numpy as np
 
 REFERENCE_PROXY_UTT_PER_SEC = 15.0  # see BASELINE.md; [L] estimate
-BATCH = 32
+BATCH = 32  # overridable via --batch (driver uses the default)
 SECONDS = 5.0
 SAMPLE_RATE = 16000
 WARMUP = 2
@@ -177,4 +177,7 @@ def _bench_infer(model_cfg, frontend_cfg, state) -> None:
 if __name__ == "__main__":
     import sys
 
-    main("infer" if "--mode" in sys.argv and "infer" in sys.argv else "train")
+    argv = sys.argv[1:]
+    if "--batch" in argv:  # batch-scaling probes (BASELINE.md)
+        BATCH = int(argv[argv.index("--batch") + 1])
+    main("infer" if "--mode" in argv and "infer" in argv else "train")

@@ -146,6 +146,47 @@ def test_loader_overflow_warns_and_errors(corpus):
         list(strict.epoch(0))
 
 
+def test_loader_int16_transfer_matches_float(corpus):
+    """int16 transfer batches carry the same PCM information: the
+    device-side rescale reproduces the float32 pipeline exactly for
+    16-bit sources (zero host conversion on the fast path)."""
+    tmp_path, entries = corpus
+    m = str(tmp_path / "man.csv")
+    create_manifest(str(tmp_path), m)
+    plan = make_buckets(read_manifest(m), batch_size=4)
+    lf = AudioBatchLoader(plan, Alphabet())
+    li = AudioBatchLoader(plan, Alphabet(), transfer_dtype="int16")
+    bf = next(iter(lf.epoch(0)))
+    bi = next(iter(li.epoch(0)))
+    assert bi.waves.dtype == np.int16
+    np.testing.assert_allclose(
+        bi.waves.astype(np.float32) / 32768.0, bf.waves, atol=1.0 / 32768.0
+    )
+    assert (bi.wave_lengths == bf.wave_lengths).all()
+
+
+def test_resident_loader_matches_host_loader(corpus):
+    """Device-resident gather batches == the host loader's int16
+    batches (same plan, same epoch ordering, same masking)."""
+    from tpuasr.data.resident import ResidentBatchLoader
+
+    tmp_path, entries = corpus
+    m = str(tmp_path / "man.csv")
+    create_manifest(str(tmp_path), m)
+    plan = make_buckets(read_manifest(m), batch_size=3, seed=3)
+    host = AudioBatchLoader(plan, Alphabet(), transfer_dtype="int16")
+    res = ResidentBatchLoader(plan, Alphabet())
+    for epoch in (0, 1):
+        for bh, br in zip(host.epoch(epoch), res.epoch(epoch)):
+            assert bh.bucket == br.bucket
+            np.testing.assert_array_equal(np.asarray(br.waves), bh.waves)
+            np.testing.assert_array_equal(np.asarray(br.labels), bh.labels)
+            np.testing.assert_array_equal(br.wave_lengths, bh.wave_lengths)
+            np.testing.assert_array_equal(br.label_lengths, bh.label_lengths)
+            np.testing.assert_array_equal(br.valid, bh.valid)
+            assert br.texts[: br.valid.sum()] == bh.texts[: bh.valid.sum()]
+
+
 def test_bucket_label_cap():
     spec = BucketSpec()
     for i in range(spec.n_buckets):

@@ -104,3 +104,33 @@ def test_finetune_resets_training_state(corpus, tmp_path):
     # finetune restarts epochs/history
     assert pkg.epoch == 1
     assert len(pkg.loss_history) == 1
+
+
+def test_epoch_scan_matches_streaming(corpus, tmp_path):
+    """The device-resident epoch-in-a-scan path computes the SAME
+    updates as the streaming loop on a single-bucket corpus (no
+    augmentation -> steps deterministic, same schedule)."""
+    from tpuasr.data.resident import ResidentBatchLoader
+
+    tc = TrainConfig(lr=3e-3, learning_anneal=1.0)
+
+    def make_plan():
+        plan = make_buckets(read_manifest(corpus), 4, BucketSpec(), seed=1)
+        plan.homogeneous = True  # align streaming schedule with resident
+        return plan
+
+    lc = lambda: LoopConfig(epochs=2, quiet=True, use_mesh=False)  # noqa: E731
+    pkg_stream = train(MC, FrontendConfig(), tc, lc(),
+                       AudioBatchLoader(make_plan(), Alphabet()), None,
+                       Alphabet())
+    pkg_scan = train(MC, FrontendConfig(), tc, lc(),
+                     ResidentBatchLoader(make_plan(), Alphabet()), None,
+                     Alphabet())
+    np.testing.assert_allclose(pkg_scan.loss_history,
+                               pkg_stream.loss_history, rtol=1e-4)
+    diffs = jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a, np.float32)
+                                  - np.asarray(b, np.float32)).max()),
+        pkg_scan.variables["params"], pkg_stream.variables["params"],
+    )
+    assert max(jax.tree.leaves(diffs)) < 1e-4, diffs

@@ -30,6 +30,29 @@ def load_audio(path: str, expected_sample_rate: int | None = None) -> np.ndarray
     return np.ascontiguousarray(data, dtype=np.float32)
 
 
+def load_audio_pcm16(path: str,
+                     expected_sample_rate: int | None = None) -> np.ndarray:
+    """Read a WAV -> mono int16 ndarray (PCM16 counts).
+
+    Fast path for the corpora norm (16-bit PCM mono at the expected
+    rate): the samples pass through untouched — no float conversion on
+    the host at all. Anything else goes through the float pipeline and
+    is re-quantized. Device code divides by 32768 (tpuasr.train.step),
+    so int16 batches halve the host->device transfer bytes — that
+    transfer is the sustained-throughput bottleneck on tunneled TPUs
+    (BASELINE.md).
+    """
+    sr, data = wavfile.read(path)
+    if (
+        data.dtype == np.int16
+        and data.ndim == 1
+        and (expected_sample_rate is None or sr == expected_sample_rate)
+    ):
+        return data
+    w = load_audio(path, expected_sample_rate=expected_sample_rate)
+    return (np.clip(w, -1.0, 1.0) * 32767.0).astype(np.int16)
+
+
 def _to_float(data: np.ndarray) -> np.ndarray:
     if data.dtype == np.int16:
         return data.astype(np.float32) / 32768.0

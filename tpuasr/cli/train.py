@@ -94,6 +94,17 @@ def build_parser() -> argparse.ArgumentParser:
                    help="coordinator address for multi-host JAX")
     p.add_argument("--dist-backend", default="ici",
                    help="accepted for compatibility")
+    p.add_argument("--transfer-dtype", default="int16",
+                   choices=["int16", "float32"],
+                   help="wave batch dtype for host->device transfer "
+                   "(int16 halves the bytes; rescaled on device)")
+    p.add_argument("--device-resident-audio", action="store_true",
+                   help="pack the whole corpus into HBM once and gather "
+                   "batches on device (corpora that fit HBM; per-step "
+                   "host->device traffic becomes a (B,) index vector)")
+    p.add_argument("--cache-audio", action="store_true",
+                   help="keep decoded waves in RAM after first read "
+                   "(small corpora / IO-starved hosts)")
     p.add_argument("--num-workers", type=int, default=2,
                    help="host prefetch depth")
     return p
@@ -137,10 +148,19 @@ def main(argv=None) -> int:
         train_entries, args.batch_size, spec,
         seed=args.seed, sorta_grad=args.sorta_grad, shuffle=args.shuffle,
     )
-    train_loader = AudioBatchLoader(
-        plan, alphabet, sample_rate=args.sample_rate,
-        prefetch=args.num_workers, rank=rank, world=world,
-    )
+    if args.device_resident_audio:
+        from tpuasr.data.resident import ResidentBatchLoader
+
+        train_loader = ResidentBatchLoader(
+            plan, alphabet, sample_rate=args.sample_rate, rank=rank,
+            world=world,
+        )
+    else:
+        train_loader = AudioBatchLoader(
+            plan, alphabet, sample_rate=args.sample_rate,
+            prefetch=args.num_workers, rank=rank, world=world,
+            cache_audio=args.cache_audio, transfer_dtype=args.transfer_dtype,
+        )
     val_loader = None
     if args.val_manifest:
         val_entries = order_and_prune(read_manifest(args.val_manifest))

@@ -82,6 +82,12 @@ class BucketingPlan:
     sorta_grad: bool = True
     shuffle: bool = True
     drop_last: bool = False
+    # homogeneous=True keeps every batch within ONE bucket even in the
+    # epoch-0 SortaGrad pass (chunks are duration-sorted within each
+    # bucket, buckets visited shortest-first, so the curriculum is
+    # preserved with strictly LESS padding). Required by the
+    # device-resident loader; beneficial generally.
+    homogeneous: bool = False
 
     def __post_init__(self):
         self._durations = np.array(
@@ -94,6 +100,15 @@ class BucketingPlan:
 
     def _sorted_batches(self) -> list[BatchPlanEntry]:
         out = []
+        if self.homogeneous:
+            for b in range(self.spec.n_buckets):
+                members = self._order[self._bucket_ids[self._order] == b]
+                for start in range(0, len(members), self.batch_size):
+                    idx = members[start : start + self.batch_size]
+                    if len(idx) < self.batch_size and self.drop_last:
+                        continue
+                    out.append(BatchPlanEntry(b, list(map(int, idx))))
+            return out
         for start in range(0, len(self._order), self.batch_size):
             idx = self._order[start : start + self.batch_size]
             if len(idx) < self.batch_size and self.drop_last:

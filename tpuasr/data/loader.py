@@ -26,23 +26,26 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from tpuasr.audio.io import load_audio
+from tpuasr.audio.io import load_audio, load_audio_pcm16
 from tpuasr.data.buckets import BatchPlanEntry, BucketingPlan
 from tpuasr.labels import Alphabet
 
 
 @dataclass
 class Batch:
-    waves: np.ndarray  # (B, L_bucket) float32
+    waves: np.ndarray  # (B, L_bucket) float32 or int16 (transfer_dtype)
     wave_lengths: np.ndarray  # (B,) int32
     labels: np.ndarray  # (B, L_cap) int32
     label_lengths: np.ndarray  # (B,) int32
     valid: np.ndarray  # (B,) bool — False for batch-padding duplicates
     bucket: int
     texts: list  # reference transcripts (for eval)
+    n_valid: int | None = None  # set when fields are device arrays
 
     @property
     def size(self) -> int:
+        if self.n_valid is not None:  # avoid a device sync on the hot path
+            return self.n_valid
         return int(self.valid.sum())
 
 
@@ -60,6 +63,8 @@ class AudioBatchLoader:
         rank: int = 0,
         world: int = 1,
         on_overflow: str = "warn",  # "warn" | "error" — utterance exceeds bucket caps
+        cache_audio: bool = False,
+        transfer_dtype: str = "float32",  # "float32" | "int16"
     ):
         self.plan = plan
         self.alphabet = alphabet
@@ -70,6 +75,16 @@ class AudioBatchLoader:
         if on_overflow not in ("warn", "error"):
             raise ValueError(f"on_overflow must be 'warn' or 'error', got {on_overflow!r}")
         self.on_overflow = on_overflow
+        if transfer_dtype not in ("float32", "int16"):
+            raise ValueError(f"transfer_dtype must be float32|int16, got {transfer_dtype!r}")
+        # int16 batches halve the host->device bytes AND skip the host
+        # PCM->float conversion; the jitted steps rescale on device.
+        self.transfer_dtype = transfer_dtype
+        # Optional whole-corpus wave cache: epoch 2+ skips disk + PCM
+        # decode entirely. Suits benchmark/smoke corpora and small
+        # corpora on IO-starved hosts; augmentation still randomizes on
+        # device every step, so cached waves do NOT freeze the epoch.
+        self._wave_cache: dict | None = {} if cache_audio else None
 
     def _overflow(self, kind: str, path: str, have: int, cap: int) -> None:
         msg = (
@@ -93,14 +108,25 @@ class AudioBatchLoader:
         while len(idx) < bsz:  # static batch: pad with repeats, masked
             idx.append(idx[-1])
 
-        waves = np.zeros((bsz, l_bucket), np.float32)
+        wave_np_dtype = np.int16 if self.transfer_dtype == "int16" else np.float32
+        waves = np.zeros((bsz, l_bucket), wave_np_dtype)
         wave_lengths = np.zeros((bsz,), np.int32)
         labels = np.zeros((bsz, l_cap), np.int32)
         label_lengths = np.zeros((bsz,), np.int32)
         texts = []
         for j, i in enumerate(idx):
             e = self.plan.entries[i]
-            w = load_audio(e.wav_path, expected_sample_rate=self.sample_rate)
+            if self._wave_cache is not None and e.wav_path in self._wave_cache:
+                w = self._wave_cache[e.wav_path]
+            else:
+                if self.transfer_dtype == "int16":
+                    w = load_audio_pcm16(e.wav_path,
+                                         expected_sample_rate=self.sample_rate)
+                else:
+                    w = load_audio(e.wav_path,
+                                   expected_sample_rate=self.sample_rate)
+                if self._wave_cache is not None:
+                    self._wave_cache[e.wav_path] = w
             if len(w) > l_bucket:
                 self._overflow("wave", e.wav_path, len(w), l_bucket)
             n = min(len(w), l_bucket)

@@ -267,54 +267,56 @@ def _word_lm_score(wt: HashedTables, bos_unused, wc1, wc2, wh1, wh2):
     return score, eff1, eff2
 
 
-def _keep_mask(lp, cfg: BeamConfig):
-    """ctcdecode candidate pruning, host-oracle semantics: rank chars
-    by log-prob, keep the top `cutoff_top_n` within cumulative prob
-    `cutoff_prob`; drop chars at/below `prune_logp` except blank (the
-    blank bypasses only the floor, not the top-n cutoff)."""
-    c_num = lp.shape[0]
-    n_top = min(cfg.cutoff_top_n, c_num)
-    chars = jnp.arange(c_num, dtype=jnp.int32)
-    sorted_lp = -jnp.sort(-lp)  # descending
-    if cfg.cutoff_prob < 1.0:
-        cum = jnp.cumsum(jnp.exp(sorted_lp))
-        keep_count = jnp.minimum(
-            jnp.sum(cum < cfg.cutoff_prob) + 1, n_top
-        )
-    else:
-        keep_count = jnp.asarray(n_top, jnp.int32)
-    thresh = sorted_lp[jnp.maximum(keep_count - 1, 0)]
-    in_top = lp >= thresh  # ties at the threshold keep extras (documented)
-    return in_top & ((lp > cfg.prune_logp) | (chars == cfg.blank_id))
-
-
 def _step(state: BeamState, lp, t, cfg: BeamConfig,
           lm_tables: HashedTables | None, word_tables: HashedTables | None):
-    """One time step for one utterance. lp: (C,) log-probs."""
+    """One time step for one utterance. lp: (C,) log-probs.
+
+    ctcdecode candidate pruning, host-oracle semantics AND a perf win:
+    only the top `cutoff_top_n` chars by log-prob (further cut by the
+    `cutoff_prob` cumulative mass and the `prune_logp` floor — blank
+    bypasses only the floor) enter the extend fan-out, so the candidate
+    pool is W + W*n_top instead of W + W*C."""
     w = state.pb.shape[0]
     c_num = lp.shape[0]
+    n_top = min(cfg.cutoff_top_n, c_num)
 
-    keep = _keep_mask(lp, cfg)
+    # top-n candidate chars, descending log-prob (rank order = exact
+    # host semantics, no threshold-tie ambiguity)
+    top_lp, top_chars = jax.lax.top_k(lp, n_top)  # (n_top,)
+    if cfg.cutoff_prob < 1.0:
+        cum = jnp.cumsum(jnp.exp(top_lp))
+        keep_count = jnp.minimum(jnp.sum(cum < cfg.cutoff_prob) + 1, n_top)
+    else:
+        keep_count = jnp.asarray(n_top, jnp.int32)
+    rank = jnp.arange(n_top, dtype=jnp.int32)
+    keep = (rank < keep_count) & (
+        (top_lp > cfg.prune_logp) | (top_chars == cfg.blank_id)
+    )  # (n_top,)
+
     p_tot = _lse(state.pb, state.pnb)
 
     # ---- stay candidates (same prefix) ----
-    stay_pb = jnp.where(keep[cfg.blank_id], p_tot + lp[cfg.blank_id], NEG)
-    last_kept = (state.last >= 0) & keep[jnp.maximum(state.last, 0)]
+    blank_kept = jnp.any(keep & (top_chars == cfg.blank_id))
+    stay_pb = jnp.where(blank_kept, p_tot + lp[cfg.blank_id], NEG)
+    last_kept = (state.last >= 0) & jnp.any(
+        keep[None, :] & (top_chars[None, :] == state.last[:, None]), axis=1
+    )
     stay_pnb = jnp.where(
         last_kept, state.pnb + lp[jnp.maximum(state.last, 0)], NEG
     )
 
-    # ---- extend candidates: (W, C) ----
-    chars = jnp.arange(c_num, dtype=jnp.int32)[None, :]  # (1, C)
+    # ---- extend candidates: (W, n_top) ----
+    chars = top_chars[None, :]  # (1, n_top)
     is_repeat = chars == state.last[:, None]
     base = jnp.where(is_repeat, state.pb[:, None], p_tot[:, None])
-    ext = base + lp[None, :]
+    ext = base + top_lp[None, :]
     ext = jnp.where((chars == cfg.blank_id) | ~keep[None, :], NEG, ext)
 
     # LM fusion contribution per extension (ranking score only).
-    lm_add = jnp.zeros((w, c_num), jnp.float32)
+    lm_add = jnp.zeros((w, n_top), jnp.float32)
     if lm_tables is not None and cfg.alpha != 0.0:
-        lm_add = cfg.alpha * _char_lm_scores(lm_tables, state.ctx, c_num)
+        full = cfg.alpha * _char_lm_scores(lm_tables, state.ctx, c_num)
+        lm_add = full[:, top_chars]
         if cfg.space_id is not None and cfg.beta != 0.0:
             lm_add = lm_add + jnp.where(chars == cfg.space_id, cfg.beta, 0.0)
     wscore = weff1 = weff2 = None
@@ -336,25 +338,25 @@ def _step(state: BeamState, lp, t, cfg: BeamConfig,
     ext_h2 = _mix32(state.h2[:, None], chars.astype(jnp.uint32), jnp.uint32(_M2))
 
     # ---- candidate pool ----
-    cand_pb = jnp.concatenate([stay_pb, jnp.full((w * c_num,), NEG)], 0)
+    cand_pb = jnp.concatenate([stay_pb, jnp.full((w * n_top,), NEG)], 0)
     cand_pnb = jnp.concatenate([stay_pnb, ext.reshape(-1)], 0)
     cand_h1 = jnp.concatenate([state.h1, ext_h1.reshape(-1)], 0)
     cand_h2 = jnp.concatenate([state.h2, ext_h2.reshape(-1)], 0)
     cand_last = jnp.concatenate(
-        [state.last, jnp.broadcast_to(chars, (w, c_num)).reshape(-1)], 0
+        [state.last, jnp.broadcast_to(chars, (w, n_top)).reshape(-1)], 0
     )
     cand_parent = jnp.concatenate(
         [
             jnp.arange(w, dtype=jnp.int32),
             jnp.broadcast_to(
-                jnp.arange(w, dtype=jnp.int32)[:, None], (w, c_num)
+                jnp.arange(w, dtype=jnp.int32)[:, None], (w, n_top)
             ).reshape(-1),
         ],
         0,
     )
     cand_new = jnp.concatenate(
         [jnp.full((w,), -1, jnp.int32),
-         jnp.broadcast_to(chars, (w, c_num)).reshape(-1)], 0
+         jnp.broadcast_to(chars, (w, n_top)).reshape(-1)], 0
     )
     cand_lm = jnp.concatenate(
         [state.lm_score, (state.lm_score[:, None] + lm_add).reshape(-1)], 0

@@ -37,6 +37,7 @@ from tpuasr.train.step import (
     init_train_state,
     make_eval_step,
     make_optimizer,
+    make_resident_epoch_runner,
     make_train_step,
 )
 
@@ -159,6 +160,20 @@ def train(
     if mesh is not None:
         state = replicate(mesh, state)
 
+    # Epoch-in-a-scan fast path: with a device-resident corpus (the
+    # loader exposes bucket_chunks) one dispatch trains a whole
+    # bucket's schedule — the per-step dispatch latency that otherwise
+    # floors sustained throughput disappears (BASELINE.md). Falls back
+    # to the streaming loop under a mesh or per-batch checkpointing.
+    use_epoch_scan = (
+        mesh is None
+        and loop_cfg.checkpoint_per_batch == 0
+        and hasattr(train_loader, "bucket_chunks")
+    )
+    if use_epoch_scan:
+        epoch_runner = make_resident_epoch_runner(
+            model_cfg, frontend_cfg, train_cfg, augment_fn
+        )
     train_step = make_train_step(model_cfg, frontend_cfg, train_cfg, augment_fn)
     eval_step = make_eval_step(model_cfg, frontend_cfg)
 
@@ -185,6 +200,7 @@ def train(
     pkg = make_pkg(start_epoch)
     for epoch in range(start_epoch, loop_cfg.epochs):
         lr = train_cfg.lr_at_epoch(epoch)  # anneal: lr / 1.1^epoch
+        lr_dev = jnp.float32(lr)  # one transfer per epoch, not per step
         loss_meter = AverageMeter()
         step_time = AverageMeter()
         data_time = AverageMeter()
@@ -204,14 +220,20 @@ def train(
             if not pending:
                 return
             n_steps = len(pending)
+            utts = sum(n for _, _, _, n in pending)
+            # materialize FIRST: float() blocks until the device has
+            # actually executed every dispatched step, so the window
+            # wall below is true throughput, not dispatch rate.
+            rows = [
+                (it, {k: float(v) for k, v in m.items()}, n)
+                for it, _, m, n in pending
+            ]
             wall = time.time() - window_t0
             per_step = wall / n_steps
             per_data = window_data / n_steps
             step_time.update(per_step, n=n_steps)
             data_time.update(per_data, n=n_steps)
-            utts = sum(n for _, _, _, n in pending)
-            for it, _, m, n in pending:
-                vals = {k: float(v) for k, v in m.items()}
+            for it, vals, n in rows:
                 loss_meter.update(vals["loss"], n=n)
                 logger.log(it, {**vals, "lr": lr, "epoch": epoch,
                                 "step_time": per_step,
@@ -229,35 +251,71 @@ def train(
             window_data = 0.0
 
         n_total = train_loader.num_batches(epoch)
-        for i, batch in enumerate(train_loader.epoch(epoch)):
-            t_data = time.time()
-            window_data += t_data - t_prev
-            waves, wave_lengths, labels, label_lengths, valid = _device_batch(
-                batch, mesh
-            )
-            rng, step_rng = jax.random.split(rng)
-            profiler.maybe_start(iteration)
-            state, metrics = train_step(
-                state, waves, wave_lengths, labels, label_lengths, valid,
-                jnp.float32(lr), step_rng,
-            )
-            iteration += 1
-            profiler.maybe_stop(iteration)
-            pending.append((iteration, i, metrics, batch.size))
-            t_prev = time.time()
-            if len(pending) >= max(loop_cfg.sync_every, 1):
-                drain(n_total)
-            if (
-                loop_cfg.checkpoint_per_batch
-                and loop_cfg.save_folder
-                and (i + 1) % loop_cfg.checkpoint_per_batch == 0
+        if use_epoch_scan:
+            for b, bank, idx_mat, n_valid, valid_mat in (
+                train_loader.bucket_chunks(epoch)
             ):
-                drain(n_total)
-                save_checkpoint(
-                    f"{loop_cfg.save_folder}/tpuasr_e{epoch}_b{i + 1}.ckpt",
-                    make_pkg(epoch),
+                rng, chunk_rng = jax.random.split(rng)
+                k = idx_mat.shape[0]
+                t0c = time.time()
+                state, metrics = epoch_runner(
+                    state, bank.waves, bank.wave_lengths, bank.labels,
+                    bank.label_lengths, jnp.asarray(idx_mat),
+                    jnp.asarray(valid_mat), lr_dev, chunk_rng,
                 )
-        drain(n_total)
+                vals = {kk: np.asarray(v) for kk, v in metrics.items()}
+                wall = time.time() - t0c
+                per_step = wall / k
+                step_time.update(per_step, n=k)
+                utts = int(n_valid.sum())
+                for j in range(k):
+                    iteration += 1
+                    loss_meter.update(float(vals["loss"][j]),
+                                      n=int(n_valid[j]))
+                    logger.log(
+                        iteration,
+                        {**{kk: float(v[j]) for kk, v in vals.items()},
+                         "lr": lr, "epoch": epoch, "step_time": per_step,
+                         "data_time": 0.0},
+                        prefix="train/",
+                    )
+                logger.console(
+                    f"Epoch {epoch} bucket {b} [{k} steps] "
+                    f"loss {loss_meter.val:.4f} (avg {loss_meter.avg:.4f}) "
+                    f"step {per_step * 1e3:.0f}ms "
+                    f"({utts / max(wall, 1e-9):.1f} utt/s)"
+                )
+                logger.flush()
+        else:
+            for i, batch in enumerate(train_loader.epoch(epoch)):
+                t_data = time.time()
+                window_data += t_data - t_prev
+                waves, wave_lengths, labels, label_lengths, valid = _device_batch(
+                    batch, mesh
+                )
+                rng, step_rng = jax.random.split(rng)
+                profiler.maybe_start(iteration)
+                state, metrics = train_step(
+                    state, waves, wave_lengths, labels, label_lengths, valid,
+                    lr_dev, step_rng,
+                )
+                iteration += 1
+                profiler.maybe_stop(iteration)
+                pending.append((iteration, i, metrics, batch.size))
+                t_prev = time.time()
+                if len(pending) >= max(loop_cfg.sync_every, 1):
+                    drain(n_total)
+                if (
+                    loop_cfg.checkpoint_per_batch
+                    and loop_cfg.save_folder
+                    and (i + 1) % loop_cfg.checkpoint_per_batch == 0
+                ):
+                    drain(n_total)
+                    save_checkpoint(
+                        f"{loop_cfg.save_folder}/tpuasr_e{epoch}_b{i + 1}.ckpt",
+                        make_pkg(epoch),
+                    )
+            drain(n_total)
 
         histories["loss"].append(loss_meter.avg)
         wer, cer = float("nan"), float("nan")
