@@ -134,3 +134,21 @@ def test_epoch_scan_matches_streaming(corpus, tmp_path):
         pkg_scan.variables["params"], pkg_stream.variables["params"],
     )
     assert max(jax.tree.leaves(diffs)) < 1e-4, diffs
+
+
+def test_epoch_scan_with_augmentation(corpus):
+    """Augmentation composes with the epoch-in-a-scan path (rng folded
+    per step inside the scan): training runs, losses stay finite, and
+    the model still learns."""
+    from tpuasr.audio.augment import AugmentConfig, make_augment_fn
+    from tpuasr.data.resident import ResidentBatchLoader
+
+    plan = make_buckets(read_manifest(corpus), 4, BucketSpec(), seed=1)
+    loader = ResidentBatchLoader(plan, Alphabet())
+    aug = make_augment_fn(AugmentConfig(tempo_gain=True, spec_augment=True))
+    tc = TrainConfig(lr=3e-3, learning_anneal=1.0)
+    lc = LoopConfig(epochs=3, quiet=True, use_mesh=False)
+    pkg = train(MC, FrontendConfig(), tc, lc, loader, None, Alphabet(),
+                augment_fn=aug)
+    assert all(np.isfinite(x) for x in pkg.loss_history)
+    assert pkg.loss_history[-1] < pkg.loss_history[0]

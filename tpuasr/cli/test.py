@@ -15,6 +15,8 @@ import argparse
 import json
 import sys
 
+import numpy as np
+
 from tpuasr.cli.opts import (
     add_decoder_args,
     add_runtime_args,
@@ -37,6 +39,11 @@ def main(argv=None) -> int:
     p.add_argument("--batch-size", type=int, default=32)
     p.add_argument("--num-workers", type=int, default=2,
                    help="host prefetch depth (reference: dataloader workers)")
+    p.add_argument("--device-resident-audio", action="store_true",
+                   help="pack the eval corpus into HBM once; batches "
+                   "assemble by on-device gather (fits-in-HBM sets)")
+    p.add_argument("--transfer-dtype", default="int16",
+                   choices=["int16", "float32"])
     p.add_argument("--save-output", default=None,
                    help="write per-utterance hyp/ref JSONL here")
     p.add_argument("--verbose", action="store_true")
@@ -60,9 +67,16 @@ def main(argv=None) -> int:
         BucketSpec(sample_rate=pkg.frontend_config.sample_rate),
         shuffle=False,
     )
-    loader = AudioBatchLoader(plan, alphabet,
-                              sample_rate=pkg.frontend_config.sample_rate,
-                              prefetch=args.num_workers)
+    if args.device_resident_audio:
+        from tpuasr.data.resident import ResidentBatchLoader
+
+        loader = ResidentBatchLoader(
+            plan, alphabet, sample_rate=pkg.frontend_config.sample_rate)
+    else:
+        loader = AudioBatchLoader(plan, alphabet,
+                                  sample_rate=pkg.frontend_config.sample_rate,
+                                  prefetch=args.num_workers,
+                                  transfer_dtype=args.transfer_dtype)
 
     meter = ErrorRateMeter()
     out_f = open(args.save_output, "w") if args.save_output else None
@@ -72,8 +86,9 @@ def main(argv=None) -> int:
         )
         logits, out_lengths = eval_step(variables, waves, wave_lengths)
         hyps = decoder.decode(logits, out_lengths)
+        valid_host = np.asarray(batch.valid)
         for j, (hyp, ref) in enumerate(zip(hyps, batch.texts)):
-            if not batch.valid[j]:
+            if not valid_host[j]:
                 continue
             meter.update(hyp, ref)
             if args.verbose:
