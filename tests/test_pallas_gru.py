@@ -90,3 +90,21 @@ def test_model_pallas_impl_matches_scan():
     np.testing.assert_array_equal(np.asarray(ol_s), np.asarray(ol_p))
     np.testing.assert_allclose(np.asarray(lo_s), np.asarray(lo_p),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_forward_large_batch():
+    """Batch >> 8 (serving/training batches reach 128): the kernel's
+    batch handling must not depend on small-B tiling assumptions."""
+    rng = np.random.RandomState(7)
+    t, b, h = 6, 96, 16
+    xg = jnp.asarray(rng.randn(t, 2, b, 3 * h).astype(np.float32)) * 0.5
+    w_h = jnp.asarray(rng.randn(2, h, 3 * h).astype(np.float32)) * 0.3
+    b_h = jnp.asarray(rng.randn(2, 3 * h).astype(np.float32)) * 0.1
+    lengths = rng.randint(1, t + 1, size=(b,)).astype(np.int32)
+    m_fwd = (np.arange(t)[:, None] < lengths[None, :]).astype(np.float32)
+    m_bwd = (np.arange(t)[:, None] >= (t - lengths)[None, :]).astype(np.float32)
+    mask = jnp.asarray(np.stack([m_fwd, m_bwd], axis=1))
+    ys_k = bigru_pallas(xg, w_h, b_h, mask, 4)
+    ys_r = bigru_reference(xg, w_h, b_h, mask)
+    np.testing.assert_allclose(np.asarray(ys_k), np.asarray(ys_r),
+                               rtol=2e-5, atol=2e-5)
