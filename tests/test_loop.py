@@ -152,3 +152,34 @@ def test_epoch_scan_with_augmentation(corpus):
                 augment_fn=aug)
     assert all(np.isfinite(x) for x in pkg.loss_history)
     assert pkg.loss_history[-1] < pkg.loss_history[0]
+
+
+def test_epoch_scan_under_mesh_matches_single_device(corpus):
+    """Resident epoch-in-a-scan over an 8-device DP mesh (banks
+    replicated, schedule batch-axis sharded, XLA psums grads) produces
+    the same params as the single-device scan."""
+    from jax.sharding import Mesh
+    from tpuasr.data.resident import ResidentBatchLoader
+
+    tc = TrainConfig(lr=3e-3, learning_anneal=1.0)
+
+    def run(mesh):
+        plan = make_buckets(read_manifest(corpus), 4, BucketSpec(), seed=1)
+        loader = ResidentBatchLoader(plan, Alphabet())
+        lc = LoopConfig(epochs=2, quiet=True, use_mesh=mesh is not None)
+        return train(MC, FrontendConfig(), tc, lc, loader, None,
+                     Alphabet(), mesh=mesh)
+
+    devs = jax.devices("cpu")
+    assert len(devs) >= 4
+    mesh = Mesh(np.asarray(devs[:4]), ("data",))
+    pkg_mesh = run(mesh)
+    pkg_one = run(None)
+    np.testing.assert_allclose(pkg_mesh.loss_history, pkg_one.loss_history,
+                               rtol=1e-4)
+    diffs = jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a, np.float32)
+                                  - np.asarray(b, np.float32)).max()),
+        pkg_mesh.variables["params"], pkg_one.variables["params"],
+    )
+    assert max(jax.tree.leaves(diffs)) < 1e-4, diffs

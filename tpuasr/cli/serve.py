@@ -1,0 +1,60 @@
+"""tpuasr serve — HTTP batch-transcription server.
+
+Production serving surface (no reference equivalent — SURVEY.md §2
+lists no serving layer; this is TPU-rebuild added value): micro-batched
+transcription over static bucket shapes (tpuasr.serve).
+
+Usage:
+  python -m tpuasr.cli.serve --model-path model.ckpt --port 8080 \
+      [--decoder greedy|beam|beam-device|beam-native --lm-path lm.arpa] \
+      [--max-batch 32 --batch-window-ms 10]
+
+  curl -X POST --data-binary @utt.wav http://host:8080/transcribe
+  -> {"text": "...", "offsets": [...]}
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from tpuasr.cli.opts import add_decoder_args, add_runtime_args, build_decoder
+from tpuasr.serve import ServeConfig, TranscriptionService, make_http_server
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description="tpuasr transcription server")
+    p.add_argument("--model-path", required=True)
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--max-batch", type=int, default=32)
+    p.add_argument("--batch-window-ms", type=float, default=10.0)
+    add_decoder_args(p)
+    add_runtime_args(p)
+    args = p.parse_args(argv)
+
+    from tpuasr.train.checkpoint import load_checkpoint
+
+    alphabet = load_checkpoint(args.model_path).alphabet
+    decoder = build_decoder(args, alphabet)
+    service = TranscriptionService(
+        args.model_path,
+        ServeConfig(max_batch=args.max_batch,
+                    batch_window_ms=args.batch_window_ms),
+        decoder=decoder,
+        rnn_impl=getattr(args, "rnn_impl", None),
+    )
+    server = make_http_server(service, args.host, args.port)
+    print(f"tpuasr serving on {args.host}:{args.port} "
+          f"(max_batch={args.max_batch}, decoder={args.decoder})",
+          flush=True)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        service.close()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -268,7 +268,8 @@ def _word_lm_score(wt: HashedTables, bos_unused, wc1, wc2, wh1, wh2):
 
 
 def _step(state: BeamState, lp, t, cfg: BeamConfig,
-          lm_tables: HashedTables | None, word_tables: HashedTables | None):
+          lm_tables: HashedTables | None, word_tables: HashedTables | None,
+          track_offsets: bool = True):
     """One time step for one utterance. lp: (C,) log-probs.
 
     ctcdecode candidate pruning, host-oracle semantics AND a perf win:
@@ -399,14 +400,17 @@ def _step(state: BeamState, lp, t, cfg: BeamConfig,
 
     # ---- prefix storage / length / offsets / LM context update ----
     old_store = state.store[parent]
-    old_toff = state.toff[parent]
+    old_toff = state.toff[parent] if track_offsets else state.toff
     old_len = state.length[parent]
     appended = _append(old_store, old_len, newchar)
     new_store = jnp.where(extended[:, None], appended, old_store)
-    t_arr = jnp.full((w,), t, jnp.int32)
-    new_toff = jnp.where(
-        extended[:, None], _append(old_toff, old_len, t_arr), old_toff
-    )
+    if track_offsets:
+        t_arr = jnp.full((w,), t, jnp.int32)
+        new_toff = jnp.where(
+            extended[:, None], _append(old_toff, old_len, t_arr), old_toff
+        )
+    else:  # offsets not requested: skip the (W, T) update chain
+        new_toff = state.toff
     new_length = jnp.where(extended, old_len + 1, old_len)
     old_ctx = state.ctx[parent]
     new_ctx = jnp.where(
@@ -415,11 +419,15 @@ def _step(state: BeamState, lp, t, cfg: BeamConfig,
         old_ctx,
     )
 
-    # ---- word-LM per-beam state ----
-    new_wh1, new_wh2 = state.wh1[parent], state.wh2[parent]
-    new_wlen = state.wlen[parent]
-    new_wc1, new_wc2 = state.wc1[parent], state.wc2[parent]
+    # ---- word-LM per-beam state (untouched — not even gathered — when
+    # word fusion is off: every op in the scan body costs serial latency) ----
+    new_wh1, new_wh2 = state.wh1, state.wh2
+    new_wlen = state.wlen
+    new_wc1, new_wc2 = state.wc1, state.wc2
     if word_tables is not None and cfg.space_id is not None:
+        new_wh1, new_wh2 = state.wh1[parent], state.wh2[parent]
+        new_wlen = state.wlen[parent]
+        new_wc1, new_wc2 = state.wc1[parent], state.wc2[parent]
         is_space = extended & (newchar == cfg.space_id)
         closes_word = is_space & (new_wlen > 0)
         # push the completed word's effective hash into the ring
@@ -468,7 +476,8 @@ def _append(store, lengths, vals):
 
 def make_beam_search(cfg: BeamConfig, t_cap: int, n_class: int,
                      lm_tables: HashedTables | None = None,
-                     word_tables: HashedTables | None = None):
+                     word_tables: HashedTables | None = None,
+                     track_offsets: bool = True):
     """Build the jitted batched decoder:
     (logprobs (B,T,C), lengths (B,)) -> (store (B,W,t_cap),
     toff (B,W,t_cap), out_lens (B,W), scores (B,W))."""
@@ -503,7 +512,8 @@ def make_beam_search(cfg: BeamConfig, t_cap: int, n_class: int,
 
         def body(state, inp):
             lp, t = inp
-            new_state = _step(state, lp, t, cfg, lm_tables, word_tables)
+            new_state = _step(state, lp, t, cfg, lm_tables, word_tables,
+                              track_offsets)
             keep = t < length
             state = jax.tree.map(
                 lambda n, o: jnp.where(
@@ -565,14 +575,15 @@ class DeviceBeamDecoder:
         )
         self._cache = {}
 
-    def _run(self, logits, lengths):
+    def _run(self, logits, lengths, track_offsets: bool = True):
         logits = jnp.asarray(logits)
         logprobs = jax.nn.log_softmax(logits, axis=-1)
         t_cap, n_class = logits.shape[1], logits.shape[2]
-        key = (t_cap, n_class)
+        key = (t_cap, n_class, track_offsets)
         if key not in self._cache:
             self._cache[key] = make_beam_search(
-                self.cfg, t_cap, n_class, self._lm_tables, self._word_tables
+                self.cfg, t_cap, n_class, self._lm_tables,
+                self._word_tables, track_offsets,
             )
         store, toff, blen, scores = self._cache[key](
             logprobs, jnp.asarray(lengths)
@@ -589,7 +600,8 @@ class DeviceBeamDecoder:
         return raw.strip(), frames[lead:lead + kept]
 
     def decode(self, logits, lengths, return_offsets: bool = False):
-        store, toff, blen, _ = self._run(logits, lengths)
+        store, toff, blen, _ = self._run(logits, lengths,
+                                         track_offsets=return_offsets)
         texts, offsets = [], []
         for b in range(store.shape[0]):
             text, offs = self._readout(store[b, 0], toff[b, 0], blen[b, 0])

@@ -112,9 +112,11 @@ def train(
     continue_from: str | None = None,
     finetune: bool = False,
     augment_fn=None,
+    mesh=None,  # explicit Mesh override (tests pass a CPU mesh)
 ) -> CheckpointPackage:
     logger = MetricsLogger(loop_cfg.log_dir, loop_cfg.tensorboard, loop_cfg.quiet)
-    mesh = make_mesh() if loop_cfg.use_mesh and len(jax.devices()) > 1 else None
+    if mesh is None:
+        mesh = make_mesh() if loop_cfg.use_mesh and len(jax.devices()) > 1 else None
 
     rng = jax.random.PRNGKey(loop_cfg.seed)
     start_epoch, iteration = 0, 0
@@ -165,15 +167,19 @@ def train(
     # bucket's schedule — the per-step dispatch latency that otherwise
     # floors sustained throughput disappears (BASELINE.md). Falls back
     # to the streaming loop under a mesh or per-batch checkpointing.
+    # Under a mesh the banks are replicated and the index matrix's
+    # batch axis is sharded over ``data`` — each device gathers its own
+    # batch shard from its bank copy and XLA inserts the gradient psum,
+    # exactly like the streaming DP path.
     use_epoch_scan = (
-        mesh is None
-        and loop_cfg.checkpoint_per_batch == 0
+        loop_cfg.checkpoint_per_batch == 0
         and hasattr(train_loader, "bucket_chunks")
     )
     if use_epoch_scan:
         epoch_runner = make_resident_epoch_runner(
             model_cfg, frontend_cfg, train_cfg, augment_fn
         )
+        mesh_banks: dict = {}
     train_step = make_train_step(model_cfg, frontend_cfg, train_cfg, augment_fn)
     eval_step = make_eval_step(model_cfg, frontend_cfg)
 
@@ -257,11 +263,29 @@ def train(
             ):
                 rng, chunk_rng = jax.random.split(rng)
                 k = idx_mat.shape[0]
+                bank_arrays = (bank.waves, bank.wave_lengths, bank.labels,
+                               bank.label_lengths)
+                if mesh is not None:
+                    # banks replicated once per bucket; batch axis of the
+                    # schedule sharded over data — each device gathers
+                    # its own shard, XLA psums the grads
+                    if b not in mesh_banks:
+                        mesh_banks[b] = replicate(mesh, bank_arrays)
+                    bank_arrays = mesh_banks[b]
+                    from jax.sharding import NamedSharding, PartitionSpec
+
+                    kb_sharding = NamedSharding(
+                        mesh, PartitionSpec(None, "data")
+                    )
+                    idx_dev = jax.device_put(idx_mat, kb_sharding)
+                    valid_dev = jax.device_put(valid_mat, kb_sharding)
+                else:
+                    idx_dev = jnp.asarray(idx_mat)
+                    valid_dev = jnp.asarray(valid_mat)
                 t0c = time.time()
                 state, metrics = epoch_runner(
-                    state, bank.waves, bank.wave_lengths, bank.labels,
-                    bank.label_lengths, jnp.asarray(idx_mat),
-                    jnp.asarray(valid_mat), lr_dev, chunk_rng,
+                    state, *bank_arrays, idx_dev, valid_dev, lr_dev,
+                    chunk_rng,
                 )
                 vals = {kk: np.asarray(v) for kk, v in metrics.items()}
                 wall = time.time() - t0c
