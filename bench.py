@@ -57,9 +57,16 @@ def main(mode: str = "train") -> None:
     train_cfg = TrainConfig()
 
     # Prefer the fused Pallas BiGRU kernel; fall back to lax.scan if the
-    # kernel fails to compile on this runtime.
-    rnn_impl = "pallas"
-    train_cfg = TrainConfig(ctc_impl="pallas")
+    # kernel fails to compile on this runtime. --rnn-impl/--ctc-impl
+    # override for kernel-selection probes.
+    import sys
+
+    argv = sys.argv[1:]
+    rnn_impl = (argv[argv.index("--rnn-impl") + 1]
+                if "--rnn-impl" in argv else "pallas")
+    ctc_impl = (argv[argv.index("--ctc-impl") + 1]
+                if "--ctc-impl" in argv else "pallas")
+    train_cfg = TrainConfig(ctc_impl=ctc_impl)
     model_cfg = ModelConfig(n_classes=alphabet.size, rnn_impl=rnn_impl)
     state = init_train_state(model_cfg, train_cfg, jax.random.PRNGKey(0))
     if mode == "infer":

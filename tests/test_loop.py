@@ -183,3 +183,33 @@ def test_epoch_scan_under_mesh_matches_single_device(corpus):
         pkg_mesh.variables["params"], pkg_one.variables["params"],
     )
     assert max(jax.tree.leaves(diffs)) < 1e-4, diffs
+
+
+def test_preemption_checkpoint_and_resume(corpus, tmp_path):
+    """SIGTERM mid-training -> the loop saves tpuasr_preempt.ckpt and
+    returns cleanly; --continue-from that checkpoint resumes."""
+    import os
+    import signal as _signal
+    import threading
+
+    tc = TrainConfig(lr=3e-3, learning_anneal=1.0)
+    save = tmp_path / "m"
+    lc = LoopConfig(epochs=500, save_folder=str(save),
+                    checkpoint_per_epoch=False, quiet=True, use_mesh=False)
+
+    killer = threading.Timer(4.0, os.kill, (os.getpid(), _signal.SIGTERM))
+    killer.start()
+    try:
+        pkg = train(MC, FrontendConfig(), tc, lc, _loader(corpus), None,
+                    Alphabet())
+    finally:
+        killer.cancel()
+    assert pkg.epoch < 500  # exited early, not a full run
+    ppath = save / "tpuasr_preempt.ckpt"
+    assert ppath.exists()
+
+    lc2 = LoopConfig(epochs=pkg.epoch + 2, save_folder=None,
+                     checkpoint_per_epoch=False, quiet=True, use_mesh=False)
+    pkg2 = train(MC, FrontendConfig(), tc, lc2, _loader(corpus), None,
+                 Alphabet(), continue_from=str(ppath))
+    assert pkg2.epoch == pkg.epoch + 2

@@ -9,6 +9,8 @@ per-epoch checkpoints + best-model tracking, --checkpoint-per-batch,
 
 from __future__ import annotations
 
+import signal
+import threading
 import time
 from dataclasses import dataclass, field
 
@@ -60,6 +62,42 @@ class LoopConfig:
     # host between syncs — the loop sustains the bare-step rate. 1
     # reproduces the reference's per-iteration readout.
     sync_every: int = 10
+
+
+class _PreemptionExit(Exception):
+    pass
+
+
+class PreemptionGuard:
+    """SIGTERM/SIGINT -> checkpoint-and-exit instead of dying mid-step.
+
+    The reference had no failure handling (SURVEY.md §5.3: a dead rank
+    killed the DDP job; recovery = manual --continue-from). On TPU
+    pools preemption is ROUTINE, so the loop treats termination signals
+    as a request to save an exact-resume checkpoint at the next safe
+    point and return cleanly. No-op outside the main thread (signal
+    handlers can only be installed there, e.g. under a serving worker).
+    """
+
+    def __init__(self, enabled: bool = True):
+        self.triggered = False
+        self._prev: dict = {}
+        self._installed = False
+        if enabled and threading.current_thread() is threading.main_thread():
+            for sig in (signal.SIGTERM, signal.SIGINT):
+                self._prev[sig] = signal.signal(sig, self._handler)
+            self._installed = True
+
+    def _handler(self, signum, frame):
+        if self.triggered:  # second signal: give up and propagate
+            raise KeyboardInterrupt
+        self.triggered = True
+
+    def restore(self):
+        if self._installed:
+            for sig, prev in self._prev.items():
+                signal.signal(sig, prev)
+            self._installed = False
 
 
 def _device_batch(batch: Batch, mesh):
@@ -203,170 +241,191 @@ def train(
         )
 
     profiler = StepProfiler(loop_cfg.profile_dir)
+    guard = PreemptionGuard()
+
+    def check_preempt():
+        if guard.triggered:
+            raise _PreemptionExit
+
     pkg = make_pkg(start_epoch)
-    for epoch in range(start_epoch, loop_cfg.epochs):
-        lr = train_cfg.lr_at_epoch(epoch)  # anneal: lr / 1.1^epoch
-        lr_dev = jnp.float32(lr)  # one transfer per epoch, not per step
-        loss_meter = AverageMeter()
-        step_time = AverageMeter()
-        data_time = AverageMeter()
-        epoch_start = time.time()
-        t_prev = time.time()
+    try:
+        for epoch in range(start_epoch, loop_cfg.epochs):
+            lr = train_cfg.lr_at_epoch(epoch)  # anneal: lr / 1.1^epoch
+            lr_dev = jnp.float32(lr)  # one transfer per epoch, not per step
+            loss_meter = AverageMeter()
+            step_time = AverageMeter()
+            data_time = AverageMeter()
+            epoch_start = time.time()
+            t_prev = time.time()
 
-        # Deferred host sync: steps dispatch asynchronously and their
-        # device-side metrics are drained in windows, so the TPU never
-        # idles waiting for a float() + JSONL write every iteration
-        # (round-1 weakness: per-step sync cost the sustained rate).
-        pending: list = []  # (iteration, batch_index, metrics_on_device, batch_size)
-        window_t0 = time.time()
-        window_data = 0.0
-
-        def drain(n_total: int):
-            nonlocal window_t0, window_data
-            if not pending:
-                return
-            n_steps = len(pending)
-            utts = sum(n for _, _, _, n in pending)
-            # materialize FIRST: float() blocks until the device has
-            # actually executed every dispatched step, so the window
-            # wall below is true throughput, not dispatch rate.
-            rows = [
-                (it, {k: float(v) for k, v in m.items()}, n)
-                for it, _, m, n in pending
-            ]
-            wall = time.time() - window_t0
-            per_step = wall / n_steps
-            per_data = window_data / n_steps
-            step_time.update(per_step, n=n_steps)
-            data_time.update(per_data, n=n_steps)
-            for it, vals, n in rows:
-                loss_meter.update(vals["loss"], n=n)
-                logger.log(it, {**vals, "lr": lr, "epoch": epoch,
-                                "step_time": per_step,
-                                "data_time": per_data}, prefix="train/")
-            i_cur = pending[-1][1]
-            logger.console(
-                f"Epoch {epoch} [{i_cur}/{n_total}] "
-                f"loss {loss_meter.val:.4f} (avg {loss_meter.avg:.4f}) "
-                f"step {per_step * 1e3:.0f}ms data {per_data * 1e3:.0f}ms "
-                f"({utts / max(wall, 1e-9):.1f} utt/s)"
-            )
-            pending.clear()
-            logger.flush()
+            # Deferred host sync: steps dispatch asynchronously and their
+            # device-side metrics are drained in windows, so the TPU never
+            # idles waiting for a float() + JSONL write every iteration
+            # (round-1 weakness: per-step sync cost the sustained rate).
+            pending: list = []  # (iteration, batch_index, metrics_on_device, batch_size)
             window_t0 = time.time()
             window_data = 0.0
 
-        n_total = train_loader.num_batches(epoch)
-        if use_epoch_scan:
-            for b, bank, idx_mat, n_valid, valid_mat in (
-                train_loader.bucket_chunks(epoch)
-            ):
-                rng, chunk_rng = jax.random.split(rng)
-                k = idx_mat.shape[0]
-                bank_arrays = (bank.waves, bank.wave_lengths, bank.labels,
-                               bank.label_lengths)
-                if mesh is not None:
-                    # banks replicated once per bucket; batch axis of the
-                    # schedule sharded over data — each device gathers
-                    # its own shard, XLA psums the grads
-                    if b not in mesh_banks:
-                        mesh_banks[b] = replicate(mesh, bank_arrays)
-                    bank_arrays = mesh_banks[b]
-                    from jax.sharding import NamedSharding, PartitionSpec
-
-                    kb_sharding = NamedSharding(
-                        mesh, PartitionSpec(None, "data")
-                    )
-                    idx_dev = jax.device_put(idx_mat, kb_sharding)
-                    valid_dev = jax.device_put(valid_mat, kb_sharding)
-                else:
-                    idx_dev = jnp.asarray(idx_mat)
-                    valid_dev = jnp.asarray(valid_mat)
-                t0c = time.time()
-                state, metrics = epoch_runner(
-                    state, *bank_arrays, idx_dev, valid_dev, lr_dev,
-                    chunk_rng,
-                )
-                vals = {kk: np.asarray(v) for kk, v in metrics.items()}
-                wall = time.time() - t0c
-                per_step = wall / k
-                step_time.update(per_step, n=k)
-                utts = int(n_valid.sum())
-                for j in range(k):
-                    iteration += 1
-                    loss_meter.update(float(vals["loss"][j]),
-                                      n=int(n_valid[j]))
-                    logger.log(
-                        iteration,
-                        {**{kk: float(v[j]) for kk, v in vals.items()},
-                         "lr": lr, "epoch": epoch, "step_time": per_step,
-                         "data_time": 0.0},
-                        prefix="train/",
-                    )
+            def drain(n_total: int):
+                nonlocal window_t0, window_data
+                if not pending:
+                    return
+                n_steps = len(pending)
+                utts = sum(n for _, _, _, n in pending)
+                # materialize FIRST: float() blocks until the device has
+                # actually executed every dispatched step, so the window
+                # wall below is true throughput, not dispatch rate.
+                rows = [
+                    (it, {k: float(v) for k, v in m.items()}, n)
+                    for it, _, m, n in pending
+                ]
+                wall = time.time() - window_t0
+                per_step = wall / n_steps
+                per_data = window_data / n_steps
+                step_time.update(per_step, n=n_steps)
+                data_time.update(per_data, n=n_steps)
+                for it, vals, n in rows:
+                    loss_meter.update(vals["loss"], n=n)
+                    logger.log(it, {**vals, "lr": lr, "epoch": epoch,
+                                    "step_time": per_step,
+                                    "data_time": per_data}, prefix="train/")
+                i_cur = pending[-1][1]
                 logger.console(
-                    f"Epoch {epoch} bucket {b} [{k} steps] "
+                    f"Epoch {epoch} [{i_cur}/{n_total}] "
                     f"loss {loss_meter.val:.4f} (avg {loss_meter.avg:.4f}) "
-                    f"step {per_step * 1e3:.0f}ms "
+                    f"step {per_step * 1e3:.0f}ms data {per_data * 1e3:.0f}ms "
                     f"({utts / max(wall, 1e-9):.1f} utt/s)"
                 )
+                pending.clear()
                 logger.flush()
-        else:
-            for i, batch in enumerate(train_loader.epoch(epoch)):
-                t_data = time.time()
-                window_data += t_data - t_prev
-                waves, wave_lengths, labels, label_lengths, valid = _device_batch(
-                    batch, mesh
-                )
-                rng, step_rng = jax.random.split(rng)
-                profiler.maybe_start(iteration)
-                state, metrics = train_step(
-                    state, waves, wave_lengths, labels, label_lengths, valid,
-                    lr_dev, step_rng,
-                )
-                iteration += 1
-                profiler.maybe_stop(iteration)
-                pending.append((iteration, i, metrics, batch.size))
-                t_prev = time.time()
-                if len(pending) >= max(loop_cfg.sync_every, 1):
-                    drain(n_total)
-                if (
-                    loop_cfg.checkpoint_per_batch
-                    and loop_cfg.save_folder
-                    and (i + 1) % loop_cfg.checkpoint_per_batch == 0
+                window_t0 = time.time()
+                window_data = 0.0
+
+            n_total = train_loader.num_batches(epoch)
+            if use_epoch_scan:
+                for b, bank, idx_mat, n_valid, valid_mat in (
+                    train_loader.bucket_chunks(epoch)
                 ):
-                    drain(n_total)
-                    save_checkpoint(
-                        f"{loop_cfg.save_folder}/tpuasr_e{epoch}_b{i + 1}.ckpt",
-                        make_pkg(epoch),
+                    rng, chunk_rng = jax.random.split(rng)
+                    k = idx_mat.shape[0]
+                    bank_arrays = (bank.waves, bank.wave_lengths, bank.labels,
+                                   bank.label_lengths)
+                    if mesh is not None:
+                        # banks replicated once per bucket; batch axis of the
+                        # schedule sharded over data — each device gathers
+                        # its own shard, XLA psums the grads
+                        if b not in mesh_banks:
+                            mesh_banks[b] = replicate(mesh, bank_arrays)
+                        bank_arrays = mesh_banks[b]
+                        from jax.sharding import NamedSharding, PartitionSpec
+
+                        kb_sharding = NamedSharding(
+                            mesh, PartitionSpec(None, "data")
+                        )
+                        idx_dev = jax.device_put(idx_mat, kb_sharding)
+                        valid_dev = jax.device_put(valid_mat, kb_sharding)
+                    else:
+                        idx_dev = jnp.asarray(idx_mat)
+                        valid_dev = jnp.asarray(valid_mat)
+                    t0c = time.time()
+                    state, metrics = epoch_runner(
+                        state, *bank_arrays, idx_dev, valid_dev, lr_dev,
+                        chunk_rng,
                     )
-            drain(n_total)
+                    vals = {kk: np.asarray(v) for kk, v in metrics.items()}
+                    wall = time.time() - t0c
+                    per_step = wall / k
+                    step_time.update(per_step, n=k)
+                    utts = int(n_valid.sum())
+                    for j in range(k):
+                        iteration += 1
+                        loss_meter.update(float(vals["loss"][j]),
+                                          n=int(n_valid[j]))
+                        logger.log(
+                            iteration,
+                            {**{kk: float(v[j]) for kk, v in vals.items()},
+                             "lr": lr, "epoch": epoch, "step_time": per_step,
+                             "data_time": 0.0},
+                            prefix="train/",
+                        )
+                    logger.console(
+                        f"Epoch {epoch} bucket {b} [{k} steps] "
+                        f"loss {loss_meter.val:.4f} (avg {loss_meter.avg:.4f}) "
+                        f"step {per_step * 1e3:.0f}ms "
+                        f"({utts / max(wall, 1e-9):.1f} utt/s)"
+                    )
+                    logger.flush()
+            else:
+                for i, batch in enumerate(train_loader.epoch(epoch)):
+                    check_preempt()
+                    t_data = time.time()
+                    window_data += t_data - t_prev
+                    waves, wave_lengths, labels, label_lengths, valid = _device_batch(
+                        batch, mesh
+                    )
+                    rng, step_rng = jax.random.split(rng)
+                    profiler.maybe_start(iteration)
+                    state, metrics = train_step(
+                        state, waves, wave_lengths, labels, label_lengths, valid,
+                        lr_dev, step_rng,
+                    )
+                    iteration += 1
+                    profiler.maybe_stop(iteration)
+                    pending.append((iteration, i, metrics, batch.size))
+                    t_prev = time.time()
+                    if len(pending) >= max(loop_cfg.sync_every, 1):
+                        drain(n_total)
+                    if (
+                        loop_cfg.checkpoint_per_batch
+                        and loop_cfg.save_folder
+                        and (i + 1) % loop_cfg.checkpoint_per_batch == 0
+                    ):
+                        drain(n_total)
+                        save_checkpoint(
+                            f"{loop_cfg.save_folder}/tpuasr_e{epoch}_b{i + 1}.ckpt",
+                            make_pkg(epoch),
+                        )
+                drain(n_total)
 
-        histories["loss"].append(loss_meter.avg)
-        wer, cer = float("nan"), float("nan")
-        if val_loader is not None:
-            variables = {
-                "params": state.params,
-                "batch_stats": state.batch_stats,
-            }
-            wer, cer, _ = evaluate(eval_step, variables, val_loader, alphabet, mesh)
-        histories["wer"].append(wer)
-        histories["cer"].append(cer)
-        logger.log(epoch, {"loss": loss_meter.avg, "wer": wer, "cer": cer,
-                           "epoch_time": time.time() - epoch_start},
-                   prefix="epoch/")
-        logger.console(
-            f"Epoch {epoch} done in {time.time() - epoch_start:.1f}s: "
-            f"loss {loss_meter.avg:.4f} WER {wer:.2f} CER {cer:.2f} lr {lr:.2e}"
-        )
+            histories["loss"].append(loss_meter.avg)
+            wer, cer = float("nan"), float("nan")
+            if val_loader is not None:
+                variables = {
+                    "params": state.params,
+                    "batch_stats": state.batch_stats,
+                }
+                wer, cer, _ = evaluate(eval_step, variables, val_loader, alphabet, mesh)
+            histories["wer"].append(wer)
+            histories["cer"].append(cer)
+            logger.log(epoch, {"loss": loss_meter.avg, "wer": wer, "cer": cer,
+                               "epoch_time": time.time() - epoch_start},
+                       prefix="epoch/")
+            logger.console(
+                f"Epoch {epoch} done in {time.time() - epoch_start:.1f}s: "
+                f"loss {loss_meter.avg:.4f} WER {wer:.2f} CER {cer:.2f} lr {lr:.2e}"
+            )
 
-        pkg = make_pkg(epoch + 1)
-        if loop_cfg.save_folder and loop_cfg.checkpoint_per_epoch:
-            save_checkpoint(f"{loop_cfg.save_folder}/tpuasr_{epoch + 1}.ckpt", pkg)
-        if loop_cfg.model_path and (np.isnan(wer) or wer <= best_wer):
-            if not np.isnan(wer):
-                best_wer = wer
-                pkg.best_wer = best_wer
-            save_checkpoint(loop_cfg.model_path, pkg)
+            pkg = make_pkg(epoch + 1)
+            if loop_cfg.save_folder and loop_cfg.checkpoint_per_epoch:
+                save_checkpoint(f"{loop_cfg.save_folder}/tpuasr_{epoch + 1}.ckpt", pkg)
+            if loop_cfg.model_path and (np.isnan(wer) or wer <= best_wer):
+                if not np.isnan(wer):
+                    best_wer = wer
+                    pkg.best_wer = best_wer
+                save_checkpoint(loop_cfg.model_path, pkg)
+
+    except _PreemptionExit:
+        pkg = make_pkg(epoch)
+        if loop_cfg.save_folder:
+            path = f"{loop_cfg.save_folder}/tpuasr_preempt.ckpt"
+            save_checkpoint(path, pkg)
+            logger.console(f"preemption signal: saved {path}; resume with "
+                           f"--continue-from {path}")
+        else:
+            logger.console("preemption signal: stopping (no --save-folder, "
+                           "nothing persisted)")
+    finally:
+        guard.restore()
 
     profiler.close()
     logger.close()
