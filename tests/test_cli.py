@@ -96,3 +96,49 @@ def test_train_lm_cli(tmp_path):
     assert rc == 0
     lm2 = ArpaLM.load(out2)
     assert "<sp>" in lm2.vocab and "O" in lm2.vocab
+
+
+def test_eval_cli_resident_scan_matches_streaming(tmp_path, capsys):
+    """cli.test --device-resident-audio (eval-in-a-scan + device greedy)
+    prints the same Test Summary as the streaming loop."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpuasr.audio.frontend import FrontendConfig
+    from tpuasr.audio.io import save_audio
+    from tpuasr.cli.test import main as test_main
+    from tpuasr.data.manifest import create_manifest
+    from tpuasr.labels import Alphabet
+    from tpuasr.model.ds2 import ModelConfig
+    from tpuasr.train.checkpoint import CheckpointPackage, save_checkpoint
+    from tpuasr.train.step import TrainConfig, init_train_state
+
+    rng = np.random.RandomState(0)
+    for i, text in enumerate(["ABA", "BOB", "CACO"]):
+        n = int(16000 * (0.4 + 0.15 * i))
+        save_audio(str(tmp_path / f"u{i}.wav"),
+                   (0.1 * rng.randn(n)).astype(np.float32), 16000)
+        (tmp_path / f"u{i}.txt").write_text(text)
+    man = str(tmp_path / "man.csv")
+    create_manifest(str(tmp_path), man)
+
+    mc = ModelConfig(n_classes=Alphabet().size, hidden_size=16,
+                     hidden_layers=1, compute_dtype=jnp.float32)
+    state = init_train_state(mc, TrainConfig(), jax.random.PRNGKey(0))
+    ckpt = str(tmp_path / "m.ckpt")
+    save_checkpoint(ckpt, CheckpointPackage(
+        model_config=mc, frontend_config=FrontendConfig(),
+        labels=Alphabet().labels,
+        variables={"params": jax.device_get(state.params),
+                   "batch_stats": jax.device_get(state.batch_stats)},
+    ))
+
+    test_main(["--model-path", ckpt, "--test-manifest", man,
+               "--batch-size", "2"])
+    streaming = capsys.readouterr().out.strip().splitlines()[-1]
+    test_main(["--model-path", ckpt, "--test-manifest", man,
+               "--batch-size", "2", "--device-resident-audio"])
+    resident = capsys.readouterr().out.strip().splitlines()[-1]
+    assert streaming.startswith("Test Summary")
+    assert resident == streaming

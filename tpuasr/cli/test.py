@@ -47,6 +47,8 @@ def main(argv=None) -> int:
     p.add_argument("--save-output", default=None,
                    help="write per-utterance hyp/ref JSONL here")
     p.add_argument("--verbose", action="store_true")
+    p.add_argument("--timing", action="store_true",
+                   help="print eval wall time and utt/s after the summary")
     add_decoder_args(p)
     add_runtime_args(p)
     args = p.parse_args(argv)
@@ -78,8 +80,54 @@ def main(argv=None) -> int:
                                   prefetch=args.num_workers,
                                   transfer_dtype=args.transfer_dtype)
 
+    import time as _time
+
     meter = ErrorRateMeter()
+    t_eval0 = _time.time()
     out_f = open(args.save_output, "w") if args.save_output else None
+
+    def emit_result(hyp: str, ref: str) -> None:
+        meter.update(hyp, ref)
+        if args.verbose:
+            print(f"Ref: {ref}\nHyp: {hyp}\n")
+        if out_f:
+            out_f.write(json.dumps({"ref": ref, "hyp": hyp},
+                                   ensure_ascii=False) + "\n")
+
+    if args.device_resident_audio and args.decoder == "greedy":
+        # eval-in-a-scan: whole manifest in one dispatch per bucket
+        # (forward + greedy best-path on device, strings on host)
+        from tpuasr.train.step import make_resident_eval_runner
+
+        runner = make_resident_eval_runner(model_cfg, pkg.frontend_config,
+                                           blank_id=alphabet.blank_id)
+        for b, bank, idx_mat, n_valid, _vm in loader.bucket_chunks(0):
+            import jax.numpy as jnp
+
+            ids, emit, _ol = runner(variables, bank.waves,
+                                    bank.wave_lengths, jnp.asarray(idx_mat))
+            ids = np.asarray(ids)
+            emit = np.asarray(emit)
+            texts = loader._texts
+            row_rows = {v: key for key, v in bank.rows.items()}
+            for k in range(idx_mat.shape[0]):
+                for j in range(int(n_valid[k])):
+                    frames = np.nonzero(emit[k, j])[0]
+                    hyp = alphabet.decode(ids[k, j, frames]).strip()
+                    emit_result(hyp, texts[row_rows[int(idx_mat[k, j])]])
+        if out_f:
+            out_f.close()
+        print(
+            f"Test Summary \t"
+            f"Average WER {meter.wer:.3f}\t"
+            f"Average CER {meter.cer:.3f}"
+        )
+        if args.timing:
+            dt = _time.time() - t_eval0
+            print(f"Timing \t{meter.n_utts} utts in {dt:.2f}s "
+                  f"= {meter.n_utts / max(dt, 1e-9):.1f} utt/s")
+        return 0
+
     for batch in loader.epoch(0):
         waves, wave_lengths, labels, label_lengths, valid = _device_batch(
             batch, None
@@ -90,12 +138,7 @@ def main(argv=None) -> int:
         for j, (hyp, ref) in enumerate(zip(hyps, batch.texts)):
             if not valid_host[j]:
                 continue
-            meter.update(hyp, ref)
-            if args.verbose:
-                print(f"Ref: {ref}\nHyp: {hyp}\n")
-            if out_f:
-                out_f.write(json.dumps({"ref": ref, "hyp": hyp},
-                                       ensure_ascii=False) + "\n")
+            emit_result(hyp, ref)
     if out_f:
         out_f.close()
 
@@ -104,6 +147,10 @@ def main(argv=None) -> int:
         f"Average WER {meter.wer:.3f}\t"
         f"Average CER {meter.cer:.3f}"
     )
+    if args.timing:
+        dt = _time.time() - t_eval0
+        print(f"Timing \t{meter.n_utts} utts in {dt:.2f}s "
+              f"= {meter.n_utts / max(dt, 1e-9):.1f} utt/s")
     return 0
 
 

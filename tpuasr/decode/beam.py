@@ -14,11 +14,12 @@ Algorithm (Hannun-style prefix beam search, log-space):
   as the (W, T) storage used for final readout).
 
 Per frame: W "stay" candidates (blank extension + repeat-last merge)
-and W*C "extend" candidates are scored; the top 4W by score are
-hash-deduplicated with a (4W, 4W) equality mask (exact within the
-kept pool — mass outside the top-4W that would merge into a kept
-prefix is negligible and this bound is the standard device-side
-approximation), then the top W survive.
+and W*n_top "extend" candidates are scored. Deduplication is EXACT
+over the full pool and costs one tiny matmul: beams are distinct
+prefixes, so the only possible duplicate is stay_i == extend_(j, c)
+with prefix_i = prefix_j + c — matching extends are absorbed into
+stay_i's non-blank mass via a hash-match matrix and masked out, after
+which a single top-k picks the W survivors (no sort-merge window).
 
 ctcdecode API parity (SURVEY.md §5.6 decoder flags): `cutoff_top_n` /
 `cutoff_prob` / `prune_logp` per-frame candidate pruning with the same
@@ -103,7 +104,7 @@ class BeamConfig:
     space_id: int | None = None
     alpha: float = 0.0  # LM weight (natural log domain)
     beta: float = 0.0  # word bonus
-    pool_mult: int = 4  # dedup pool = pool_mult * beam_width
+    pool_mult: int = 4  # retained for API compat; dedup is exact now (unused)
     # ctcdecode-parity per-frame candidate pruning (host defaults):
     cutoff_top_n: int = 40
     cutoff_prob: float = 1.0
@@ -338,9 +339,45 @@ def _step(state: BeamState, lp, t, cfg: BeamConfig,
     ext_h1 = _mix32(state.h1[:, None], chars.astype(jnp.uint32), jnp.uint32(_M1))
     ext_h2 = _mix32(state.h2[:, None], chars.astype(jnp.uint32), jnp.uint32(_M2))
 
-    # ---- candidate pool ----
+    # ---- EXACT full-pool dedup via stay<->extend absorption ----
+    # Beams are distinct prefixes, so two extends can never collide
+    # (prefix_j1 + c1 == prefix_j2 + c2 forces j1 == j2), and two stays
+    # can't either. The ONLY duplicates are stay_i == extend_(j, c)
+    # with prefix_i = prefix_j + c. Absorb every matching extend's CTC
+    # mass into stay_i's pnb (the host dict does exactly this), then
+    # mask the absorbed extends — the pool is duplicate-free and the
+    # old 4W-window sort/merge machinery disappears entirely.
+    match = (
+        (state.h1[:, None, None] == ext_h1[None, :, :])
+        & (state.h2[:, None, None] == ext_h2[None, :, :])
+    ).reshape(w, -1)  # (W stays, W*n_top extend candidates)
+    ext_flat = ext.reshape(-1)  # (W*n_top,)
+    k_max = jnp.maximum(jnp.max(ext_flat), -1e20)
+    exp_ext = jnp.where(ext_flat > NEG / 2, jnp.exp(ext_flat - k_max), 0.0)
+    absorbed = match.astype(jnp.float32) @ exp_ext  # (W,)
+    absorbed_log = jnp.where(absorbed > 0.0, jnp.log(absorbed) + k_max, NEG)
+    stay_score_pre = _lse(stay_pb, stay_pnb)
+    stay_pnb = _lse(stay_pnb, absorbed_log)
+    # Representative identity: if an absorbed extend outweighs the
+    # stay, the merged candidate adopts ITS (parent, char) — the
+    # decoded text/mass are identical either way (same prefix), but
+    # char offsets then follow the DOMINANT alignment's emission frame.
+    masked_ext = jnp.where(match, ext_flat[None, :], NEG)
+    best_ext_val = jnp.max(masked_ext, axis=1)
+    best_ext_idx = jnp.argmax(masked_ext, axis=1)  # flat (parent*n_top+col)
+    take_ext = best_ext_val > stay_score_pre
+    stay_parent = jnp.where(
+        take_ext, (best_ext_idx // n_top).astype(jnp.int32),
+        jnp.arange(w, dtype=jnp.int32),
+    )
+    stay_newchar = jnp.where(
+        take_ext, top_chars[best_ext_idx % n_top], jnp.int32(-1)
+    )
+    ext_flat = jnp.where(jnp.any(match, axis=0), NEG, ext_flat)
+
+    # ---- candidate pool (duplicate-free): stays then extends ----
     cand_pb = jnp.concatenate([stay_pb, jnp.full((w * n_top,), NEG)], 0)
-    cand_pnb = jnp.concatenate([stay_pnb, ext.reshape(-1)], 0)
+    cand_pnb = jnp.concatenate([stay_pnb, ext_flat], 0)
     cand_h1 = jnp.concatenate([state.h1, ext_h1.reshape(-1)], 0)
     cand_h2 = jnp.concatenate([state.h2, ext_h2.reshape(-1)], 0)
     cand_last = jnp.concatenate(
@@ -348,7 +385,7 @@ def _step(state: BeamState, lp, t, cfg: BeamConfig,
     )
     cand_parent = jnp.concatenate(
         [
-            jnp.arange(w, dtype=jnp.int32),
+            stay_parent,
             jnp.broadcast_to(
                 jnp.arange(w, dtype=jnp.int32)[:, None], (w, n_top)
             ).reshape(-1),
@@ -356,7 +393,7 @@ def _step(state: BeamState, lp, t, cfg: BeamConfig,
         0,
     )
     cand_new = jnp.concatenate(
-        [jnp.full((w,), -1, jnp.int32),
+        [stay_newchar,
          jnp.broadcast_to(chars, (w, n_top)).reshape(-1)], 0
     )
     cand_lm = jnp.concatenate(
@@ -364,32 +401,10 @@ def _step(state: BeamState, lp, t, cfg: BeamConfig,
     )
 
     score = _lse(cand_pb, cand_pnb) + cand_lm
+    top_w_score, sel = jax.lax.top_k(score, w)
 
-    # ---- dedup within top pool ----
-    k = min(cfg.pool_mult * w, score.shape[0])
-    top_score, top_idx = jax.lax.top_k(score, k)
-    tpb = cand_pb[top_idx]
-    tpnb = cand_pnb[top_idx]
-    th1 = cand_h1[top_idx]
-    th2 = cand_h2[top_idx]
-
-    same = (th1[:, None] == th1[None, :]) & (th2[:, None] == th2[None, :])
-    iota = jnp.arange(k)
-    first = jnp.argmax(same, axis=1)  # first (highest-score) occurrence
-    is_first = first == iota
-    # merge every duplicate's mass into its first occurrence
-    mask_into = same & (first[None, :] == iota[:, None])  # row i collects j
-    merged_pb = _merge_lse(tpb, mask_into)
-    merged_pnb = _merge_lse(tpnb, mask_into)
-    merged_pb = jnp.where(is_first, merged_pb, NEG)
-    merged_pnb = jnp.where(is_first, merged_pnb, NEG)
-
-    final_score = _lse(merged_pb, merged_pnb) + cand_lm[top_idx]
-    top_w_score, top_w = jax.lax.top_k(final_score, w)
-    sel = top_idx[top_w]
-
-    new_pb = merged_pb[top_w]
-    new_pnb = merged_pnb[top_w]
+    new_pb = cand_pb[sel]
+    new_pnb = cand_pnb[sel]
     new_h1 = cand_h1[sel]
     new_h2 = cand_h2[sel]
     new_last = cand_last[sel]
@@ -455,15 +470,6 @@ def _step(state: BeamState, lp, t, cfg: BeamConfig,
     return BeamState(new_pb, new_pnb, new_h1, new_h2, new_last, new_store,
                      new_toff, new_length, new_lm, new_ctx,
                      new_wh1, new_wh2, new_wlen, new_wc1, new_wc2)
-
-
-def _merge_lse(vals, mask):
-    """Row-wise logsumexp of vals[j] where mask[i, j]."""
-    v = jnp.where(mask, vals[None, :], NEG)
-    m = jnp.max(v, axis=1)
-    m_safe = jnp.maximum(m, NEG)
-    out = m_safe + jnp.log(jnp.sum(jnp.exp(v - m_safe[:, None]), axis=1))
-    return jnp.maximum(out, NEG)
 
 
 def _append(store, lengths, vals):

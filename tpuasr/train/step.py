@@ -207,6 +207,39 @@ def make_resident_epoch_runner(model_cfg: ModelConfig,
     return run_epoch
 
 
+def make_resident_eval_runner(model_cfg: ModelConfig,
+                              frontend_cfg: FrontendConfig,
+                              blank_id: int = 0):
+    """Eval-in-a-scan over a device-resident corpus: ONE dispatch runs
+    eval forward + greedy best-path for a whole bucket schedule
+    (mirrors make_resident_epoch_runner; the reference's test.py loops
+    host batches through the GPU one at a time). Returns jitted fn:
+      (variables, waves_bank, wl_bank, idx_mat (K,B)) ->
+      (ids (K,B,T'), emit (K,B,T'), out_lengths (K,B))
+    Host side only assembles strings from the emit masks.
+    """
+    from tpuasr.decode.greedy import greedy_best_path
+
+    model = DeepSpeech2(model_cfg)
+
+    @jax.jit
+    def run(variables, waves_bank, wl_bank, idx_mat):
+        def body(_, idx):
+            waves = _waves_to_float(jnp.take(waves_bank, idx, axis=0))
+            wl = jnp.take(wl_bank, idx, axis=0)
+            feats, feat_lengths = log_spectrogram(waves, wl, frontend_cfg)
+            logits, out_lengths = model.apply(variables, feats, feat_lengths,
+                                              train=False)
+            ids, emit = greedy_best_path(logits, out_lengths,
+                                         blank_id=blank_id)
+            return None, (ids, emit, out_lengths)
+
+        _, out = jax.lax.scan(body, None, idx_mat)
+        return out
+
+    return run
+
+
 def make_eval_step(model_cfg: ModelConfig, frontend_cfg: FrontendConfig):
     """Returns jitted fn: (variables, waves, wave_lengths) ->
     (logits, out_lengths) with eval-mode BN (running stats).
