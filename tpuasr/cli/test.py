@@ -49,6 +49,10 @@ def main(argv=None) -> int:
     p.add_argument("--verbose", action="store_true")
     p.add_argument("--timing", action="store_true",
                    help="print eval wall time and utt/s after the summary")
+    p.add_argument("--timing-repeats", type=int, default=1,
+                   help="run the eval N times and report the LAST pass "
+                   "(first pass pays jit tracing/compile; steady-state "
+                   "serving numbers need a warm pass)")
     add_decoder_args(p)
     add_runtime_args(p)
     args = p.parse_args(argv)
@@ -101,20 +105,24 @@ def main(argv=None) -> int:
 
         runner = make_resident_eval_runner(model_cfg, pkg.frontend_config,
                                            blank_id=alphabet.blank_id)
-        for b, bank, idx_mat, n_valid, _vm in loader.bucket_chunks(0):
-            import jax.numpy as jnp
+        for rep in range(max(args.timing_repeats, 1)):
+            meter = ErrorRateMeter()
+            t_eval0 = _time.time()
+            for b, bank, idx_mat, n_valid, _vm in loader.bucket_chunks(0):
+                import jax.numpy as jnp
 
-            ids, emit, _ol = runner(variables, bank.waves,
-                                    bank.wave_lengths, jnp.asarray(idx_mat))
-            ids = np.asarray(ids)
-            emit = np.asarray(emit)
-            texts = loader._texts
-            row_rows = {v: key for key, v in bank.rows.items()}
-            for k in range(idx_mat.shape[0]):
-                for j in range(int(n_valid[k])):
-                    frames = np.nonzero(emit[k, j])[0]
-                    hyp = alphabet.decode(ids[k, j, frames]).strip()
-                    emit_result(hyp, texts[row_rows[int(idx_mat[k, j])]])
+                ids, emit, _ol = runner(variables, bank.waves,
+                                        bank.wave_lengths,
+                                        jnp.asarray(idx_mat))
+                ids = np.asarray(ids)
+                emit = np.asarray(emit)
+                texts = loader._texts
+                row_rows = {v: key for key, v in bank.rows.items()}
+                for k in range(idx_mat.shape[0]):
+                    for j in range(int(n_valid[k])):
+                        frames = np.nonzero(emit[k, j])[0]
+                        hyp = alphabet.decode(ids[k, j, frames]).strip()
+                        emit_result(hyp, texts[row_rows[int(idx_mat[k, j])]])
         if out_f:
             out_f.close()
         print(
@@ -128,17 +136,20 @@ def main(argv=None) -> int:
                   f"= {meter.n_utts / max(dt, 1e-9):.1f} utt/s")
         return 0
 
-    for batch in loader.epoch(0):
-        waves, wave_lengths, labels, label_lengths, valid = _device_batch(
-            batch, None
-        )
-        logits, out_lengths = eval_step(variables, waves, wave_lengths)
-        hyps = decoder.decode(logits, out_lengths)
-        valid_host = np.asarray(batch.valid)
-        for j, (hyp, ref) in enumerate(zip(hyps, batch.texts)):
-            if not valid_host[j]:
-                continue
-            emit_result(hyp, ref)
+    for rep in range(max(args.timing_repeats, 1)):
+        meter = ErrorRateMeter()
+        t_eval0 = _time.time()
+        for batch in loader.epoch(0):
+            waves, wave_lengths, labels, label_lengths, valid = _device_batch(
+                batch, None
+            )
+            logits, out_lengths = eval_step(variables, waves, wave_lengths)
+            hyps = decoder.decode(logits, out_lengths)
+            valid_host = np.asarray(batch.valid)
+            for j, (hyp, ref) in enumerate(zip(hyps, batch.texts)):
+                if not valid_host[j]:
+                    continue
+                emit_result(hyp, ref)
     if out_f:
         out_f.close()
 

@@ -124,14 +124,17 @@ class HashedTables(NamedTuple):
 
 
 class BeamState(NamedTuple):
+    """Per-beam device state. Prefixes are NOT materialized on device:
+    each frame emits (parent, appended char) backpointers as scan
+    outputs and the host backtracks the winners afterwards — the scan
+    body carries only O(W) vectors (a (W, T) store gather per frame is
+    the kind of serial-latency op chain that dominates beam cost)."""
+
     pb: jnp.ndarray  # (W,) log P(prefix, ending in blank)
     pnb: jnp.ndarray  # (W,) log P(prefix, ending in non-blank)
     h1: jnp.ndarray  # (W,) uint32 prefix hash stream 1
     h2: jnp.ndarray  # (W,) uint32 prefix hash stream 2
     last: jnp.ndarray  # (W,) int32 last char (-1 = empty prefix)
-    store: jnp.ndarray  # (W, t_cap) int32 prefix chars
-    toff: jnp.ndarray  # (W, t_cap) int32 emission frame per char
-    length: jnp.ndarray  # (W,) int32 prefix length
     lm_score: jnp.ndarray  # (W,) accumulated LM + bonus score
     ctx: jnp.ndarray  # (W, k_ctx) int32 char-LM context (char mode)
     wh1: jnp.ndarray  # (W,) uint32 partial-word rolling hash 1
@@ -269,9 +272,10 @@ def _word_lm_score(wt: HashedTables, bos_unused, wc1, wc2, wh1, wh2):
 
 
 def _step(state: BeamState, lp, t, cfg: BeamConfig,
-          lm_tables: HashedTables | None, word_tables: HashedTables | None,
-          track_offsets: bool = True):
+          lm_tables: HashedTables | None, word_tables: HashedTables | None):
     """One time step for one utterance. lp: (C,) log-probs.
+    Returns (new_state, (parent (W,), appended_char (W,) with -1 =
+    stay)) — the backpointers the host backtracks into prefixes.
 
     ctcdecode candidate pruning, host-oracle semantics AND a perf win:
     only the top `cutoff_top_n` chars by log-prob (further cut by the
@@ -413,20 +417,7 @@ def _step(state: BeamState, lp, t, cfg: BeamConfig,
     newchar = cand_new[sel]
     extended = newchar >= 0
 
-    # ---- prefix storage / length / offsets / LM context update ----
-    old_store = state.store[parent]
-    old_toff = state.toff[parent] if track_offsets else state.toff
-    old_len = state.length[parent]
-    appended = _append(old_store, old_len, newchar)
-    new_store = jnp.where(extended[:, None], appended, old_store)
-    if track_offsets:
-        t_arr = jnp.full((w,), t, jnp.int32)
-        new_toff = jnp.where(
-            extended[:, None], _append(old_toff, old_len, t_arr), old_toff
-        )
-    else:  # offsets not requested: skip the (W, T) update chain
-        new_toff = state.toff
-    new_length = jnp.where(extended, old_len + 1, old_len)
+    # ---- char-LM context update (prefixes themselves live on host) ----
     old_ctx = state.ctx[parent]
     new_ctx = jnp.where(
         extended[:, None],
@@ -467,26 +458,19 @@ def _step(state: BeamState, lp, t, cfg: BeamConfig,
             is_space, 0, jnp.where(grows, new_wlen + 1, new_wlen)
         )
 
-    return BeamState(new_pb, new_pnb, new_h1, new_h2, new_last, new_store,
-                     new_toff, new_length, new_lm, new_ctx,
-                     new_wh1, new_wh2, new_wlen, new_wc1, new_wc2)
-
-
-def _append(store, lengths, vals):
-    t_cap = store.shape[1]
-    onehot = (
-        jnp.arange(t_cap, dtype=jnp.int32)[None, :] == lengths[:, None]
-    )
-    return jnp.where(onehot, jnp.maximum(vals, 0)[:, None], store)
+    new_state = BeamState(new_pb, new_pnb, new_h1, new_h2, new_last,
+                          new_lm, new_ctx,
+                          new_wh1, new_wh2, new_wlen, new_wc1, new_wc2)
+    return new_state, (parent, newchar)
 
 
 def make_beam_search(cfg: BeamConfig, t_cap: int, n_class: int,
                      lm_tables: HashedTables | None = None,
-                     word_tables: HashedTables | None = None,
-                     track_offsets: bool = True):
+                     word_tables: HashedTables | None = None):
     """Build the jitted batched decoder:
-    (logprobs (B,T,C), lengths (B,)) -> (store (B,W,t_cap),
-    toff (B,W,t_cap), out_lens (B,W), scores (B,W))."""
+    (logprobs (B,T,C), lengths (B,)) -> (parents (B,T,W) int32,
+    chars (B,T,W) int32 with -1 = stay, scores (B,W) UNSORTED) — the
+    host backtracks the backpointers into prefixes + frame offsets."""
 
     def decode_one(logprobs, length):
         w = cfg.beam_width
@@ -497,9 +481,6 @@ def make_beam_search(cfg: BeamConfig, t_cap: int, n_class: int,
         h1 = (jnp.arange(w, dtype=jnp.uint32) + 1).at[0].set(0)
         h2 = (jnp.arange(w, dtype=jnp.uint32) + 1).at[0].set(0)
         last = jnp.full((w,), -1, jnp.int32)
-        store = jnp.zeros((w, t_cap), jnp.int32)
-        toff = jnp.zeros((w, t_cap), jnp.int32)
-        blen = jnp.zeros((w,), jnp.int32)
         lm_score = jnp.zeros((w,), jnp.float32)
         k_ctx = 4 if lm_tables is None else max(1, lm_tables.order - 1)
         ctx = jnp.zeros((w, k_ctx), jnp.int32)
@@ -513,23 +494,30 @@ def make_beam_search(cfg: BeamConfig, t_cap: int, n_class: int,
         wh1 = jnp.zeros((w,), jnp.uint32)
         wh2 = jnp.zeros((w,), jnp.uint32)
         wlen = jnp.zeros((w,), jnp.int32)
-        state0 = BeamState(pb, pnb, h1, h2, last, store, toff, blen,
+        state0 = BeamState(pb, pnb, h1, h2, last,
                            lm_score, ctx, wh1, wh2, wlen, wc1, wc2)
+        iota_w = jnp.arange(w, dtype=jnp.int32)
 
         def body(state, inp):
             lp, t = inp
-            new_state = _step(state, lp, t, cfg, lm_tables, word_tables,
-                              track_offsets)
+            new_state, (parent, newchar) = _step(
+                state, lp, t, cfg, lm_tables, word_tables
+            )
             keep = t < length
             state = jax.tree.map(
                 lambda n, o: jnp.where(
                     keep.reshape((1,) * n.ndim), n, o
                 ), new_state, state,
             )
-            return state, None
+            # frozen (padding) frames emit identity backpointers
+            parent = jnp.where(keep, parent, iota_w)
+            newchar = jnp.where(keep, newchar, jnp.int32(-1))
+            return state, (parent, newchar)
 
         ts = jnp.arange(logprobs.shape[0], dtype=jnp.int32)
-        state, _ = jax.lax.scan(body, state0, (logprobs, ts))
+        state, (parents, chars_out) = jax.lax.scan(
+            body, state0, (logprobs, ts)
+        )
         scores = _lse(state.pb, state.pnb) + state.lm_score
         if word_tables is not None and cfg.space_id is not None:
             # close the final partial word (ctcdecode finish_decoding)
@@ -539,9 +527,7 @@ def make_beam_search(cfg: BeamConfig, t_cap: int, n_class: int,
             scores = scores + jnp.where(
                 state.wlen > 0, cfg.alpha * wscore + cfg.beta, 0.0
             )
-        order = jnp.argsort(-scores)
-        return (state.store[order], state.toff[order],
-                state.length[order], scores[order])
+        return parents, chars_out, scores
 
     @jax.jit
     def decode(logprobs, lengths):
@@ -585,17 +571,16 @@ class DeviceBeamDecoder:
         logits = jnp.asarray(logits)
         logprobs = jax.nn.log_softmax(logits, axis=-1)
         t_cap, n_class = logits.shape[1], logits.shape[2]
-        key = (t_cap, n_class, track_offsets)
+        key = (t_cap, n_class)
         if key not in self._cache:
             self._cache[key] = make_beam_search(
-                self.cfg, t_cap, n_class, self._lm_tables,
-                self._word_tables, track_offsets,
+                self.cfg, t_cap, n_class, self._lm_tables, self._word_tables
             )
-        store, toff, blen, scores = self._cache[key](
+        parents, chars, scores = self._cache[key](
             logprobs, jnp.asarray(lengths)
         )
-        return (np.asarray(store), np.asarray(toff), np.asarray(blen),
-                np.asarray(scores))
+        return _backtrack(np.asarray(parents), np.asarray(chars),
+                          np.asarray(scores))
 
     def _readout(self, store_row, toff_row, n):
         """ids (+frames) -> (stripped text, aligned offsets)."""
@@ -637,6 +622,37 @@ class DeviceBeamDecoder:
                 rows.append((text, float(scores[b, w]), offs))
             out.append(rows)
         return out
+
+
+def _backtrack(parents: np.ndarray, chars: np.ndarray, scores: np.ndarray):
+    """Backpointers -> (store (B,W,T), toff (B,W,T), blen (B,W),
+    scores (B,W)), beams sorted best-first per utterance.
+
+    Walking t = T-1..0 with the (B, W) lineage cursor records, for each
+    final beam, the char appended at every frame along its own history
+    (-1 where it stayed); reading those in ascending t IS the prefix,
+    and the frame indices ARE the per-char offsets.
+    """
+    b_n, t_n, w_n = chars.shape
+    bidx = np.arange(b_n)[:, None]
+    cur = np.broadcast_to(np.arange(w_n), (b_n, w_n)).copy()
+    lineage = np.empty((b_n, t_n, w_n), np.int32)
+    for t in range(t_n - 1, -1, -1):
+        lineage[:, t, :] = chars[bidx, t, cur]
+        cur = parents[bidx, t, cur]
+    store = np.zeros((b_n, w_n, t_n), np.int32)
+    toff = np.zeros((b_n, w_n, t_n), np.int32)
+    blen = np.zeros((b_n, w_n), np.int32)
+    order = np.argsort(-scores, axis=1)
+    out_scores = np.take_along_axis(scores, order, axis=1)
+    for b in range(b_n):
+        for rank, w in enumerate(order[b]):
+            frames = np.nonzero(lineage[b, :, w] >= 0)[0]
+            n = len(frames)
+            store[b, rank, :n] = lineage[b, frames, w]
+            toff[b, rank, :n] = frames
+            blen[b, rank] = n
+    return store, toff, blen, out_scores
 
 
 # ---------------------------------------------------------------------------
