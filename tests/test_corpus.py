@@ -5,7 +5,11 @@ import numpy as np
 from tpuasr.audio.io import load_audio, save_audio
 from tpuasr.data.corpus import (
     normalize_transcript,
+    prepare_cetuc,
+    prepare_lapsbm,
     prepare_pairs,
+    prepare_sid,
+    prepare_spoltech,
     prepare_voxforge,
 )
 from tpuasr.data.manifest import read_manifest
@@ -57,3 +61,106 @@ def test_prepare_voxforge_layout(tmp_path):
     assert len(entries) == 2
     texts = sorted(e.read_transcript() for e in entries)
     assert texts == ["OLA MUNDO", "TUDO BEM"]
+
+
+def _wav(path, n=4000, sr=16000, seed=0):
+    save_audio(str(path), np.random.RandomState(seed).randn(n) * 0.1, sr)
+
+
+def test_prepare_lapsbm_speaker_layout(tmp_path):
+    # LapsBM1.4: LapsBM-F### / LapsBM-M### speaker dirs, paired wav/txt
+    root = tmp_path / "LapsBM1.4"
+    for spk, utt, text in [
+        ("LapsBM-F004", "LapsBM_0004-01", "uma frase"),
+        ("LapsBM-M001", "LapsBM_0001-01", "outra frase"),
+    ]:
+        d = root / spk
+        d.mkdir(parents=True, exist_ok=True)
+        _wav(d / f"{utt}.wav")
+        (d / f"{utt}.txt").write_text(text)
+    # stray unpaired wav must be ignored
+    _wav(root / "LapsBM-F004" / "orphan.wav")
+    out, man = tmp_path / "out", str(tmp_path / "man.csv")
+    entries = prepare_lapsbm(str(root), str(out), man)
+    assert len(entries) == 2
+    stems = sorted(e.wav_path.split("/")[-1] for e in entries)
+    # speaker id is preserved in the output stem
+    assert stems == ["LapsBM-F004_LapsBM_0004-01.wav",
+                     "LapsBM-M001_LapsBM_0001-01.wav"]
+
+
+def test_prepare_lapsbm_fallback_to_pairs(tmp_path):
+    # no LapsBM-* speaker dirs -> generic pair scan
+    d = tmp_path / "flat"
+    d.mkdir()
+    _wav(d / "x.wav")
+    (d / "x.txt").write_text("fala")
+    entries = prepare_lapsbm(str(d), str(tmp_path / "out"),
+                             str(tmp_path / "m.csv"))
+    assert len(entries) == 1
+    assert entries[0].read_transcript() == "FALA"
+
+
+def test_prepare_cetuc_speaker_stems(tmp_path):
+    # alcaim/<speaker>/<sentence>.wav|.txt — stem = speaker_sentence
+    root = tmp_path / "alcaim"
+    for spk in ("Adriano", "Beatriz"):
+        d = root / spk
+        d.mkdir(parents=True)
+        _wav(d / "sent001.wav")
+        (d / "sent001.txt").write_text("frase um")
+    entries = prepare_cetuc(str(root), str(tmp_path / "out"),
+                            str(tmp_path / "m.csv"))
+    assert len(entries) == 2
+    stems = sorted(e.wav_path.split("/")[-1] for e in entries)
+    assert stems == ["Adriano_sent001.wav", "Beatriz_sent001.wav"]
+
+
+def test_prepare_sid_prompts_layout(tmp_path):
+    # Sid: speaker dir with WAVs + one prompts.txt; line N <-> wav *N
+    d = tmp_path / "sid" / "M001"
+    d.mkdir(parents=True)
+    _wav(d / "M001N0001.wav")
+    _wav(d / "M001N0002.wav")
+    _wav(d / "M001N0007.wav")  # no prompt line 7 -> skipped
+    (d / "prompts.txt").write_text(
+        "1=primeira frase\n2= segunda frase\n", encoding="utf-8"
+    )
+    entries = prepare_sid(str(tmp_path / "sid"), str(tmp_path / "out"),
+                          str(tmp_path / "m.csv"))
+    assert len(entries) == 2
+    texts = sorted(e.read_transcript() for e in entries)
+    assert texts == ["PRIMEIRA FRASE", "SEGUNDA FRASE"]
+
+
+def test_prepare_sid_unindexed_prompts_and_pair_fallback(tmp_path):
+    # prompts without explicit indices: line order is the index;
+    # a second speaker dir without prompts.txt uses paired txt files
+    d = tmp_path / "sid" / "F002"
+    d.mkdir(parents=True)
+    _wav(d / "F002N0001.wav")
+    _wav(d / "F002N0002.wav")
+    (d / "prompts.txt").write_text("frase a\nfrase b\n")
+    p = tmp_path / "sid" / "M003"
+    p.mkdir(parents=True)
+    _wav(p / "solo1.wav")
+    (p / "solo1.txt").write_text("frase c")
+    entries = prepare_sid(str(tmp_path / "sid"), str(tmp_path / "out"),
+                          str(tmp_path / "m.csv"))
+    texts = sorted(e.read_transcript() for e in entries)
+    assert texts == ["FRASE A", "FRASE B", "FRASE C"]
+
+
+def test_prepare_spoltech_latin1_and_empty(tmp_path):
+    # CSLU Spoltech: Latin-1 transcripts, uppercase .WAV ext is NOT
+    # required but empty transcripts are skipped
+    d = tmp_path / "spoltech"
+    d.mkdir()
+    _wav(d / "u1.wav")
+    (d / "u1.txt").write_bytes("não é você".encode("latin-1"))
+    _wav(d / "u2.wav")
+    (d / "u2.txt").write_text("")  # empty -> skipped
+    entries = prepare_spoltech(str(d), str(tmp_path / "out"),
+                               str(tmp_path / "m.csv"))
+    assert len(entries) == 1
+    assert entries[0].read_transcript() == "NÃO É VOCÊ"

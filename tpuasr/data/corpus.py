@@ -12,12 +12,23 @@ archive/directory instead of a URL (``--source``); everything after
 reference's sox subprocess, transcript normalization, manifest
 emission) is implemented and unit-tested on synthetic layouts.
 
-Layouts handled:
-  * LapsBM: LapsBM*/LapsBM_####/ *.wav + matching *.txt per utterance.
-  * CETUC: speaker dirs with paired wav/txt (one sentence per file).
+Layouts handled (each prepare_* parses its corpus's documented layout
+and falls back to the generic pair scan when the layout markers are
+absent — distributions in the wild vary; confidence per SURVEY.md §0):
+  * LapsBM (LapsBM1.4): speaker dirs ``LapsBM-F###`` / ``LapsBM-M###``,
+    each holding paired ``*.wav`` + ``*.txt`` per utterance; stems keep
+    the speaker id so train/test splits by speaker stay possible.
+  * CETUC ("alcaim"): one dir per speaker, each with paired wav/txt
+    (the same ~1000 prompt sentences per speaker).
   * VoxForge: <session>/wav/*.wav + <session>/etc/PROMPTS lines
     ("<path> WORD WORD ...").
-  * Sid / CSLU Spoltech: paired wav/txt trees (generic pair scan).
+  * Sid: one dir per speaker containing the utterance WAVs plus a
+    single ``prompts.txt`` whose line N transcribes the WAV whose
+    trailing number is N.
+  * CSLU Spoltech: paired wav/txt tree, but transcripts are Latin-1
+    encoded (not UTF-8), extensions appear in upper/lower case, and
+    some transcript files are empty/missing -> those utterances are
+    skipped.
 """
 
 from __future__ import annotations
@@ -57,34 +68,174 @@ def _convert_pair(wav_src: Path, text: str, out_dir: Path, stem: str,
     return ManifestEntry(str(wav_out), str(txt_out))
 
 
-def prepare_pairs(
-    source: str, out_dir: str, manifest_path: str,
-    wav_suffix: str = ".wav", txt_suffix: str = ".txt",
-    sample_rate: int = TARGET_SR,
-) -> list[ManifestEntry]:
-    """Generic paired wav/txt tree (LapsBM, CETUC, Sid, Spoltech)."""
-    src = Path(source)
-    entries = []
-    for wav in sorted(src.rglob(f"*{wav_suffix}")):
-        txt = wav.with_suffix(txt_suffix)
-        if not txt.exists():
-            continue
-        rel = wav.relative_to(src)
-        stem = "_".join(rel.with_suffix("").parts)
-        entries.append(
-            _convert_pair(wav, txt.read_text(encoding="utf-8", errors="replace"),
-                          Path(out_dir), stem, sample_rate)
-        )
+def _finish(entries: list[ManifestEntry],
+            manifest_path: str) -> list[ManifestEntry]:
     entries = sorted(with_durations(entries), key=lambda e: e.duration)
     write_manifest(manifest_path, entries)
     return entries
 
 
-# Named corpus entry points (the reference had one script per corpus).
-prepare_lapsbm = prepare_pairs
-prepare_cetuc = prepare_pairs
-prepare_sid = prepare_pairs
-prepare_spoltech = prepare_pairs
+def _read_text_any(path: Path) -> str:
+    """Transcript read tolerant of the corpora's mixed encodings: UTF-8
+    first, then Latin-1 (CSLU Spoltech ships ISO-8859-1 transcripts)."""
+    raw = path.read_bytes()
+    try:
+        return raw.decode("utf-8")
+    except UnicodeDecodeError:
+        return raw.decode("latin-1")
+
+
+def _scan_pairs(src: Path, wav_suffix: str = ".wav",
+                txt_suffix: str = ".txt") -> list[tuple[Path, str]]:
+    """(wav, transcript text) pairs from a matching-stem tree.
+    Extensions match case-insensitively; empty transcripts are skipped
+    (both occur in the CSLU Spoltech distribution)."""
+    pairs = []
+    for wav in sorted(src.rglob("*")):
+        if wav.suffix.lower() != wav_suffix.lower() or not wav.is_file():
+            continue
+        txt = None
+        for cand in (wav.with_suffix(txt_suffix),
+                     wav.with_suffix(txt_suffix.upper())):
+            if cand.exists():
+                txt = cand
+                break
+        if txt is None:
+            continue
+        text = _read_text_any(txt).strip()
+        if not text:
+            continue
+        pairs.append((wav, text))
+    return pairs
+
+
+def prepare_pairs(
+    source: str, out_dir: str, manifest_path: str,
+    wav_suffix: str = ".wav", txt_suffix: str = ".txt",
+    sample_rate: int = TARGET_SR,
+) -> list[ManifestEntry]:
+    """Generic paired wav/txt tree (also the fallback for the named
+    corpus layouts when their specific markers are absent)."""
+    src = Path(source)
+    entries = []
+    for wav, text in _scan_pairs(src, wav_suffix, txt_suffix):
+        rel = wav.relative_to(src)
+        stem = "_".join(rel.with_suffix("").parts)
+        entries.append(_convert_pair(wav, text, Path(out_dir), stem,
+                                     sample_rate))
+    return _finish(entries, manifest_path)
+
+
+def prepare_lapsbm(
+    source: str, out_dir: str, manifest_path: str,
+    sample_rate: int = TARGET_SR,
+) -> list[ManifestEntry]:
+    """LapsBM1.4 (the reference family's standard PT-BR *test* set):
+    speaker dirs ``LapsBM-F###``/``LapsBM-M###`` (F/M = speaker sex),
+    each holding paired ``LapsBM_####-NN.wav`` + ``.txt`` utterances
+    [M confidence — SURVEY.md §0]. Output stems are
+    ``<speaker>_<utterance>`` so downstream splits can group by the
+    leading speaker component. Falls back to the generic pair scan when
+    no ``LapsBM*`` speaker dirs exist."""
+    src = Path(source)
+    speaker_dirs = sorted(
+        d for d in src.rglob("LapsBM*") if d.is_dir()
+        and re.match(r"LapsBM-?[FM]?\d*$", d.name)
+    )
+    if not speaker_dirs:
+        return prepare_pairs(source, out_dir, manifest_path,
+                             sample_rate=sample_rate)
+    entries = []
+    for spk in speaker_dirs:
+        for wav, text in _scan_pairs(spk):
+            stem = f"{spk.name}_{wav.stem}"
+            entries.append(_convert_pair(wav, text, Path(out_dir), stem,
+                                         sample_rate))
+    return _finish(entries, manifest_path)
+
+
+def prepare_cetuc(
+    source: str, out_dir: str, manifest_path: str,
+    sample_rate: int = TARGET_SR,
+) -> list[ManifestEntry]:
+    """CETUC ("alcaim": ~100 speakers x ~1000 read sentences, paired
+    wav/txt inside one directory per speaker [M]). Identical file
+    mechanics to the pair scan but stems are ``<speaker>_<sentence>``
+    taken from the immediate speaker dir, and nested non-speaker levels
+    (e.g. an extra ``alcaim/`` root inside the archive) are skipped."""
+    src = Path(source)
+    entries = []
+    for wav, text in _scan_pairs(src):
+        spk = wav.parent.name if wav.parent != src else "root"
+        stem = f"{spk}_{wav.stem}"
+        entries.append(_convert_pair(wav, text, Path(out_dir), stem,
+                                     sample_rate))
+    return _finish(entries, manifest_path)
+
+
+_TRAILING_NUM = re.compile(r"(\d+)$")
+
+
+def prepare_sid(
+    source: str, out_dir: str, manifest_path: str,
+    sample_rate: int = TARGET_SR,
+) -> list[ManifestEntry]:
+    """Sid corpus: one dir per speaker holding the utterance WAVs plus a
+    single ``prompts.txt`` where line N (1-based; lines may carry a
+    leading "N=" or "N." index) transcribes the WAV whose filename ends
+    in number N [M confidence — SURVEY.md §0]. Speaker dirs without a
+    prompts file fall back to paired wav/txt."""
+    src = Path(source)
+    entries = []
+    leaf_dirs = sorted({w.parent for w in src.rglob("*")
+                        if w.suffix.lower() == ".wav"})
+    for spk in leaf_dirs:
+        prompts = None
+        for cand in ("prompts.txt", "PROMPTS.txt", "text.txt"):
+            if (spk / cand).exists():
+                prompts = spk / cand
+                break
+        wavs = sorted(p for p in spk.iterdir()
+                      if p.suffix.lower() == ".wav")
+        if prompts is None:
+            for wav, text in _scan_pairs(spk):
+                stem = f"{spk.name}_{wav.stem}"
+                entries.append(_convert_pair(wav, text, Path(out_dir),
+                                             stem, sample_rate))
+            continue
+        lines = [ln.strip() for ln in
+                 _read_text_any(prompts).splitlines() if ln.strip()]
+        by_index: dict[int, str] = {}
+        for i, ln in enumerate(lines):
+            m = re.match(r"^(\d+)\s*[=.:)\-]\s*(.+)$", ln)
+            if m:
+                by_index[int(m.group(1))] = m.group(2)
+            else:
+                by_index[i + 1] = ln
+        for wav in wavs:
+            m = _TRAILING_NUM.search(wav.stem)
+            if not m:
+                continue
+            text = by_index.get(int(m.group(1)))
+            if not text:
+                continue
+            stem = f"{spk.name}_{wav.stem}"
+            entries.append(_convert_pair(wav, text, Path(out_dir), stem,
+                                         sample_rate))
+    return _finish(entries, manifest_path)
+
+
+def prepare_spoltech(
+    source: str, out_dir: str, manifest_path: str,
+    sample_rate: int = TARGET_SR,
+) -> list[ManifestEntry]:
+    """CSLU Spoltech Port (LDC2006S16): paired wav/txt tree with
+    Latin-1 transcripts, mixed-case extensions, and some empty/missing
+    transcripts (skipped) [M]. The tolerant pair scan handles all of
+    that; this wrapper exists so the CLI surface mirrors the
+    reference's one-script-per-corpus layout."""
+    return prepare_pairs(source, out_dir, manifest_path,
+                         sample_rate=sample_rate)
 
 
 def prepare_voxforge(
@@ -137,10 +288,20 @@ def main(argv=None) -> int:
     p.add_argument("--out-dir", required=True)
     p.add_argument("--manifest", required=True)
     p.add_argument("--sample-rate", type=int, default=TARGET_SR)
+    p.add_argument("--min-duration", type=float, default=None,
+                   help="prune utterances shorter than this (seconds)")
+    p.add_argument("--max-duration", type=float, default=None,
+                   help="prune utterances longer than this (seconds)")
     args = p.parse_args(argv)
     entries = CORPORA[args.corpus](
         args.source, args.out_dir, args.manifest, sample_rate=args.sample_rate
     )
+    if args.min_duration is not None or args.max_duration is not None:
+        from tpuasr.data.manifest import order_and_prune
+
+        entries = order_and_prune(entries, args.min_duration,
+                                  args.max_duration)
+        write_manifest(args.manifest, entries)
     print(f"{args.corpus}: {len(entries)} utterances -> {args.manifest}")
     return 0
 
