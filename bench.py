@@ -78,8 +78,10 @@ def main(mode: str = "train") -> None:
         argv = sys.argv[1:]
         cut = int(argv[argv.index("--cutoff-top-n") + 1]) \
             if "--cutoff-top-n" in argv else 40
+        beam_impl = (argv[argv.index("--beam-impl") + 1]
+                     if "--beam-impl" in argv else "auto")
         _bench_beam(model_cfg, frontend_cfg, state, cutoff_top_n=cut,
-                    with_lm="lm" in mode)
+                    with_lm="lm" in mode, impl=beam_impl)
         return
     train_step = make_train_step(model_cfg, frontend_cfg, train_cfg)
 
@@ -148,7 +150,7 @@ def main(mode: str = "train") -> None:
 
 
 def _bench_beam(model_cfg, frontend_cfg, state, cutoff_top_n: int = 40,
-                with_lm: bool = False) -> None:
+                with_lm: bool = False, impl: str = "auto") -> None:
     """Config-4 benchmark: on-device beam search (W=10), optionally
     with word n-gram shallow fusion, over the eval forward's logits."""
     import jax
@@ -178,7 +180,8 @@ def _bench_beam(model_cfg, frontend_cfg, state, cutoff_top_n: int = 40,
     dec = DeviceBeamDecoder(alphabet, beam_width=10, word_lm=word_lm,
                             alpha=0.8 if with_lm else 0.0,
                             beta=1.0 if with_lm else 0.0,
-                            cutoff_top_n=cutoff_top_n)
+                            cutoff_top_n=cutoff_top_n,
+                            impl="xla" if with_lm else impl)
 
     for _ in range(WARMUP):
         store, toff, blen, scores = dec._run(logits, ol)
@@ -200,6 +203,8 @@ def _bench_beam(model_cfg, frontend_cfg, state, cutoff_top_n: int = 40,
             "beam_width": 10,
             "cutoff_top_n": cutoff_top_n,
             "word_lm": with_lm,
+            "impl": "xla" if with_lm else
+                    ("pallas" if dec._use_pallas() else "xla"),
         },
     }
     print(json.dumps(result))

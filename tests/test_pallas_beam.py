@@ -1,0 +1,98 @@
+"""Fused Pallas beam-search kernel vs the XLA scan implementation.
+
+The kernel (tpuasr/ops/beam.py) must reproduce the XLA device beam
+(decode/beam.py) frame-for-frame: same candidates, same exact dedup,
+same lax.top_k tie-breaking — so the comparison here is on decoded
+text AND scores, across random logits, ragged lengths, and the
+ctcdecode cutoff knobs. Interpreter mode (no TPU needed on CI/CPU).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import tpuasr.ops.beam as beam_ops
+from tpuasr.decode.beam import DeviceBeamDecoder
+from tpuasr.labels import Alphabet
+
+ABC = Alphabet(labels="_AB C")  # blank, A, B, space, C
+
+
+@pytest.fixture(autouse=True)
+def _interpret():
+    beam_ops.INTERPRET = True
+    yield
+    beam_ops.INTERPRET = False
+
+
+def _decoders(**kw):
+    return (DeviceBeamDecoder(ABC, impl="pallas", **kw),
+            DeviceBeamDecoder(ABC, impl="xla", **kw))
+
+
+def test_kernel_matches_xla_random():
+    rng = np.random.RandomState(7)
+    b, t, c = 4, 12, 5
+    logits = jnp.asarray(rng.randn(b, t, c).astype(np.float32) * 2)
+    lengths = jnp.asarray(np.array([12, 9, 5, 1], np.int32))
+    pal, xla = _decoders(beam_width=8)
+    got_p, sc_p = pal.decode_nbest(logits, lengths), None
+    got_x = xla.decode_nbest(logits, lengths)
+    for i in range(b):
+        # top-1 text and score must agree exactly
+        assert got_p[i][0][0] == got_x[i][0][0], (i, got_p[i], got_x[i])
+        np.testing.assert_allclose(got_p[i][0][1], got_x[i][0][1],
+                                   rtol=1e-5, atol=1e-5)
+        # full deduped n-best lists agree (same search, same dedup)
+        texts_p = [r[0] for r in got_p[i]]
+        texts_x = [r[0] for r in got_x[i]]
+        assert texts_p == texts_x, (i, texts_p, texts_x)
+        for rp, rx in zip(got_p[i], got_x[i]):
+            np.testing.assert_allclose(rp[1], rx[1], rtol=1e-5, atol=1e-5)
+
+
+def test_kernel_matches_xla_under_cutoffs():
+    rng = np.random.RandomState(3)
+    b, t, c = 3, 10, 5
+    logits = jnp.asarray(rng.randn(b, t, c).astype(np.float32) * 3)
+    lengths = jnp.asarray(np.array([10, 7, 4], np.int32))
+    for kw in (
+        dict(beam_width=6, cutoff_top_n=3),
+        dict(beam_width=6, cutoff_prob=0.9),
+        dict(beam_width=6, cutoff_top_n=4, cutoff_prob=0.8,
+             prune_logp=-3.0),
+    ):
+        pal, xla = _decoders(**kw)
+        tp = pal.decode(logits, lengths)
+        tx = xla.decode(logits, lengths)
+        assert tp == tx, (kw, tp, tx)
+
+
+def test_kernel_offsets_match_xla():
+    rng = np.random.RandomState(11)
+    b, t, c = 2, 9, 5
+    logits = jnp.asarray(rng.randn(b, t, c).astype(np.float32) * 2)
+    lengths = jnp.asarray(np.array([9, 6], np.int32))
+    pal, xla = _decoders(beam_width=5)
+    tp, op = pal.decode(logits, lengths, return_offsets=True)
+    tx, ox = xla.decode(logits, lengths, return_offsets=True)
+    assert tp == tx
+    for a, b_ in zip(op, ox):
+        np.testing.assert_array_equal(a, b_)
+
+
+def test_kernel_time_padding_invariance():
+    """T not a multiple of the time chunk: padding frames must be inert."""
+    rng = np.random.RandomState(5)
+    b, t, c = 2, 11, 5  # 11 % 8 != 0
+    logits = rng.randn(b, t, c).astype(np.float32)
+    lengths = np.array([11, 3], np.int32)
+    pal, xla = _decoders(beam_width=4)
+    assert pal.decode(jnp.asarray(logits), jnp.asarray(lengths)) == \
+        xla.decode(jnp.asarray(logits), jnp.asarray(lengths))
+
+
+def test_impl_flag_validation():
+    with pytest.raises(ValueError):
+        DeviceBeamDecoder(ABC, impl="bogus")

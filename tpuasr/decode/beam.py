@@ -531,7 +531,13 @@ def make_beam_search(cfg: BeamConfig, t_cap: int, n_class: int,
 
     @jax.jit
     def decode(logprobs, lengths):
-        return jax.vmap(decode_one)(logprobs, lengths)
+        parents, chars_out, scores = jax.vmap(decode_one)(logprobs, lengths)
+        if _packable(cfg.beam_width, n_class):
+            # one int16 device->host readout instead of three int32
+            # ones: the readout, not the search, bounds decode
+            # throughput on tunneled hosts (BASELINE.md round 2)
+            return pack_decode_outputs(parents, chars_out, scores)
+        return parents, chars_out, scores
 
     return decode
 
@@ -544,9 +550,18 @@ class DeviceBeamDecoder:
     def __init__(self, alphabet: Alphabet, beam_width: int = 10,
                  char_lm=None, word_lm=None, alpha: float = 0.0,
                  beta: float = 0.0, cutoff_top_n: int = 40,
-                 cutoff_prob: float = 1.0, prune_logp: float = -20.0):
+                 cutoff_prob: float = 1.0, prune_logp: float = -20.0,
+                 impl: str = "auto"):
         if char_lm is not None and word_lm is not None:
             raise ValueError("pass char_lm or word_lm, not both")
+        if impl not in ("auto", "pallas", "xla"):
+            raise ValueError(f"impl must be auto|pallas|xla, got {impl!r}")
+        if impl == "pallas" and (char_lm is not None or word_lm is not None):
+            raise ValueError(
+                "the fused Pallas beam kernel has no LM fusion; use "
+                "impl='xla' (or 'auto') for LM-fused decodes"
+            )
+        self.impl = impl
         self.alphabet = alphabet
         self._lm_tables = (
             pack_lm_tables(char_lm, alphabet) if char_lm is not None else None
@@ -567,20 +582,60 @@ class DeviceBeamDecoder:
         )
         self._cache = {}
 
+    def _use_pallas(self) -> bool:
+        if self.impl == "xla":
+            return False
+        if self._lm_tables is not None or self._word_tables is not None:
+            return False  # LM fusion lives on the XLA path only
+        if self.impl == "pallas":
+            return True
+        # "auto": the Mosaic kernel needs a TPU (tests force it on CPU
+        # via impl="pallas" + ops.beam.INTERPRET)
+        d = jax.config.jax_default_device
+        if d is not None:
+            platform = d if isinstance(d, str) else getattr(d, "platform", d)
+            return str(platform).lower() != "cpu"
+        return jax.default_backend() != "cpu"
+
     def _run(self, logits, lengths, track_offsets: bool = True):
         logits = jnp.asarray(logits)
         logprobs = jax.nn.log_softmax(logits, axis=-1)
         t_cap, n_class = logits.shape[1], logits.shape[2]
         key = (t_cap, n_class)
         if key not in self._cache:
-            self._cache[key] = make_beam_search(
-                self.cfg, t_cap, n_class, self._lm_tables, self._word_tables
+            if self._use_pallas():
+                from functools import partial
+
+                from tpuasr.ops.beam import beam_scan_pallas
+
+                kernel = partial(
+                    beam_scan_pallas,
+                    beam_width=self.cfg.beam_width,
+                    blank_id=self.cfg.blank_id,
+                    cutoff_top_n=self.cfg.cutoff_top_n,
+                    cutoff_prob=self.cfg.cutoff_prob,
+                    prune_logp=self.cfg.prune_logp,
+                )
+                if _packable(self.cfg.beam_width, n_class):
+                    def packed(lp, lens, _k=kernel):
+                        return pack_decode_outputs(*_k(lp, lens))
+
+                    self._cache[key] = jax.jit(packed)
+                else:
+                    self._cache[key] = jax.jit(kernel)
+            else:
+                self._cache[key] = make_beam_search(
+                    self.cfg, t_cap, n_class, self._lm_tables,
+                    self._word_tables
+                )
+        out = self._cache[key](logprobs, jnp.asarray(lengths))
+        if isinstance(out, tuple):
+            parents, chars, scores = (np.asarray(x) for x in out)
+        else:
+            parents, chars, scores = unpack_decode_outputs(
+                np.asarray(out), t_cap, self.cfg.beam_width
             )
-        parents, chars, scores = self._cache[key](
-            logprobs, jnp.asarray(lengths)
-        )
-        return _backtrack(np.asarray(parents), np.asarray(chars),
-                          np.asarray(scores))
+        return _backtrack(parents, chars, scores)
 
     def _readout(self, store_row, toff_row, n):
         """ids (+frames) -> (stripped text, aligned offsets)."""
@@ -622,6 +677,46 @@ class DeviceBeamDecoder:
                 rows.append((text, float(scores[b, w]), offs))
             out.append(rows)
         return out
+
+
+def pack_decode_outputs(parents, chars, scores):
+    """Fold (parents (B,T,W) int, chars (B,T,W) int, scores (B,W) f32)
+    into ONE int16 array (B, T*W + 2W) — device side, inside jit.
+
+    Rationale: each device->host readout costs a fixed round trip
+    (tens of ms on tunneled hosts, BASELINE.md) — one packed transfer
+    beats three. Backpointers use 15 bits (parent*128 + char+1, valid
+    for W <= 254 / C <= 126 — caller checks); scores ship as raw f32
+    bits split into two int16 lanes."""
+    b, t, w = parents.shape
+    bp = (parents.astype(jnp.int32) * 128
+          + (chars.astype(jnp.int32) + 1)).astype(jnp.int16)
+    bits = jax.lax.bitcast_convert_type(
+        scores.astype(jnp.float32), jnp.int32
+    )
+    lo = (bits & 0xFFFF).astype(jnp.uint16)
+    hi = ((bits >> 16) & 0xFFFF).astype(jnp.uint16)
+    return jnp.concatenate(
+        [bp.reshape(b, t * w),
+         jax.lax.bitcast_convert_type(lo, jnp.int16),
+         jax.lax.bitcast_convert_type(hi, jnp.int16)], axis=1
+    )
+
+
+def unpack_decode_outputs(raw: np.ndarray, t: int, w: int):
+    """Host-side inverse of pack_decode_outputs."""
+    b = raw.shape[0]
+    bp = raw[:, : t * w].astype(np.int32).reshape(b, t, w)
+    parents = bp >> 7
+    chars = (bp & 127) - 1
+    lo = raw[:, t * w: t * w + w].view(np.uint16).astype(np.uint32)
+    hi = raw[:, t * w + w:].view(np.uint16).astype(np.uint32)
+    scores = ((hi << 16) | lo).view(np.float32)
+    return parents, chars, scores
+
+
+def _packable(beam_width: int, n_class: int) -> bool:
+    return beam_width <= 254 and n_class <= 126
 
 
 def _backtrack(parents: np.ndarray, chars: np.ndarray, scores: np.ndarray):

@@ -1,0 +1,325 @@
+"""Pallas TPU kernel: fused CTC prefix beam-search scan (no-LM path).
+
+Why: the XLA device beam (tpuasr/decode/beam.py) is serial-latency
+bound — each lax.scan frame issues ~dozens of tiny VPU ops with
+inter-op overhead, measured ~0.55 ms/frame at B=32/W=10 (BASELINE.md
+round 2). The entire per-frame state is a handful of (B, W) vectors,
+so the whole time loop fits in one Pallas kernel with the beam state
+resident in VMEM scratch — the same structure as the fused BiGRU
+kernel (tpuasr/ops/gru.py): grid over time chunks (TPU grid steps run
+sequentially on a core), no HBM round-trips except streaming the
+per-frame log-probs in and the backpointers out.
+
+Semantics: EXACTLY the XLA implementation's algorithm (Hannun prefix
+beam search with exact stay<->extend absorption dedup and ctcdecode
+cutoff pruning — see decode/beam.py for the derivation), including
+`cutoff_top_n` / `cutoff_prob` / `prune_logp`, re-expressed without
+top_k/argsort/gather (unsupported or slow in Mosaic):
+  * candidate rank     = count of strictly-better (lp, index) pairs
+    (a (B, C, C) comparison mask — C is tiny),
+  * cutoff_prob        = exclusive better-ranked probability mass
+    < cutoff_prob (equivalent to XLA's cumsum+count form),
+  * pool top-W         = W unrolled iterations of (max, first-index,
+    one-hot select, mask-out) — identical tie-breaking to lax.top_k
+    (lowest flat index wins),
+  * every gather       = one-hot mask + lane reduction.
+
+LM fusion is NOT handled here: word-LM probes hash tables far larger
+than VMEM-friendly one-hot forms; LM-fused decodes stay on the XLA
+path (decode/beam.py picks the implementation).
+
+Reference parity: ctcdecode C++ beam decoder (SURVEY.md §3.2,
+ref:decoder.py BeamCTCDecoder).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = -1e30
+DEFAULT_TIME_CHUNK = 8
+VMEM_LIMIT = 100 * 1024 * 1024
+
+# Test hook: run the kernel in the Pallas interpreter (CPU).
+INTERPRET = False
+
+_M1 = np.uint32(0x9E3779B1)
+_M2 = np.uint32(0x85EBCA77)
+
+
+def _mix32(h, x, mult):
+    h = (h ^ x) * mult
+    return h ^ (h >> 15)
+
+
+def _lse(a, b):
+    m = jnp.maximum(a, b)
+    m_safe = jnp.maximum(m, NEG)
+    return jnp.maximum(
+        m_safe + jnp.log1p(jnp.exp(jnp.minimum(a, b) - m_safe)), NEG
+    )
+
+
+def _beam_kernel(lp_ref, len_ref, parents_ref, chars_ref, scores_ref,
+                 pb_ref, pnb_ref, h1_ref, h2_ref, last_ref, *,
+                 time_chunk, beam_width, blank_id, cutoff_top_n,
+                 cutoff_prob, prune_logp):
+    w = beam_width
+    b, c_num = lp_ref.shape[1], lp_ref.shape[2]
+    pool = w + w * c_num
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        w_iota = jax.lax.broadcasted_iota(jnp.int32, (b, w), 1)
+        pb_ref[:] = jnp.where(w_iota == 0, 0.0, NEG).astype(jnp.float32)
+        pnb_ref[:] = jnp.full((b, w), NEG, jnp.float32)
+        # distinct initial hashes so empty duplicates don't merge;
+        # beam 0 (the live empty prefix) hashes to 0
+        h0 = jax.lax.broadcasted_iota(jnp.uint32, (b, w), 1)
+        h0 = jnp.where(h0 == 0, jnp.uint32(0), h0 + 1)
+        h1_ref[:] = h0
+        h2_ref[:] = h0
+        last_ref[:] = jnp.full((b, w), -1, jnp.int32)
+
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (b, c_num), 1)
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (b, w), 1)
+    iota_p = jax.lax.broadcasted_iota(jnp.int32, (b, pool), 1)
+    # bound OUTSIDE the fori_loop: program_id must bind in the kernel's
+    # top-level jaxpr (both for Mosaic and the interpreter)
+    t_base = pl.program_id(0) * time_chunk
+
+    def body(i, _):
+        t = t_base + i
+        lp = lp_ref[i].astype(jnp.float32)  # (B, C)
+        pb, pnb = pb_ref[:], pnb_ref[:]
+        h1, h2 = h1_ref[:], h2_ref[:]
+        last = last_ref[:]
+
+        # ---- ctcdecode candidate pruning, rank form ----
+        # rank_c = #chars with strictly better (lp, idx); ties -> lower
+        # index first, exactly lax.top_k's order in the XLA path.
+        better = (lp[:, :, None] > lp[:, None, :]) | (
+            (lp[:, :, None] == lp[:, None, :])
+            & (iota_c[:, :, None] < iota_c[:, None, :])
+        )  # (B, C other, C me) -> better[b, j, c] = j outranks c
+        rank = jnp.sum(better.astype(jnp.float32), axis=1)  # (B, C)
+        keep = rank < float(min(cutoff_top_n, c_num))
+        if cutoff_prob < 1.0:
+            # keep while the EXCLUSIVE better-ranked mass < cutoff_prob
+            # (== XLA's `rank < sum(cumsum(exp) < p) + 1`)
+            excl = jnp.sum(
+                jnp.where(better, jnp.exp(lp)[:, :, None], 0.0), axis=1
+            )  # (B, C)
+            keep = keep & (excl < cutoff_prob)
+        keep = keep & ((lp > prune_logp) | (iota_c == blank_id))
+
+        p_tot = _lse(pb, pnb)  # (B, W)
+
+        # ---- stay candidates ----
+        blank_col = jnp.sum(
+            jnp.where(iota_c == blank_id, lp, 0.0), axis=1, keepdims=True
+        )  # (B, 1)
+        blank_kept = jnp.any(keep & (iota_c == blank_id), axis=1,
+                             keepdims=True)  # (B, 1)
+        stay_pb = jnp.where(blank_kept, p_tot + blank_col, NEG)
+        last_oh = last[:, :, None] == iota_c[:, None, :]  # (B, W, C)
+        lp_last = jnp.sum(jnp.where(last_oh, lp[:, None, :], 0.0), axis=2)
+        last_kept = (last >= 0) & jnp.any(
+            last_oh & keep[:, None, :], axis=2
+        )
+        stay_pnb = jnp.where(last_kept, pnb + lp_last, NEG)
+
+        # ---- extend candidates, flat (B, W*C) ----
+        # Built by CONCATENATING per-beam 2D chunks: Mosaic cannot
+        # relayout a (B, W, C) -> (B, W*C) reshape (the last two dims
+        # are the tiled ones), but lane-axis concats of 2D chunks and
+        # unit-dim broadcasts compile fine. W is 10; the loop unrolls.
+        e_num = w * c_num
+        ext_mask = (iota_c == blank_id) | ~keep  # (B, C)
+        cu = iota_c.astype(jnp.uint32)  # (B, C)
+        ext_chunks, eh1_chunks, eh2_chunks = [], [], []
+        for j in range(w):
+            base_j = jnp.where(
+                last[:, j:j + 1] == iota_c, pb[:, j:j + 1],
+                p_tot[:, j:j + 1],
+            )  # (B, C)
+            ext_chunks.append(jnp.where(ext_mask, NEG, base_j + lp))
+            eh1_chunks.append(_mix32(h1[:, j:j + 1], cu, jnp.uint32(_M1)))
+            eh2_chunks.append(_mix32(h2[:, j:j + 1], cu, jnp.uint32(_M2)))
+        ext2 = jnp.concatenate(ext_chunks, axis=1)  # (B, E)
+        eh1_2 = jnp.concatenate(eh1_chunks, axis=1)
+        eh2_2 = jnp.concatenate(eh2_chunks, axis=1)
+
+        # ---- exact stay<->extend absorption dedup (3D broadcasts of
+        # 2D operands only) ----
+        match = (
+            (h1[:, :, None] == eh1_2[:, None, :])
+            & (h2[:, :, None] == eh2_2[:, None, :])
+        )  # (B, W stay, W*C extend)
+        k_max = jnp.maximum(
+            jnp.max(ext2, axis=1, keepdims=True), -1e20
+        )  # (B, 1)
+        exp_ext = jnp.where(ext2 > NEG / 2, jnp.exp(ext2 - k_max), 0.0)
+        absorbed = jnp.sum(
+            jnp.where(match, exp_ext[:, None, :], 0.0), axis=2
+        )  # (B, W)
+        absorbed_log = jnp.where(
+            absorbed > 0.0, jnp.log(absorbed) + k_max, NEG
+        )
+        stay_score_pre = _lse(stay_pb, stay_pnb)
+        stay_pnb = _lse(stay_pnb, absorbed_log)
+        # representative identity: strongest absorbed extend may take
+        # over the (parent, char) backpointer (same prefix either way)
+        masked_ext = jnp.where(match, ext2[:, None, :], NEG)  # (B, W, E)
+        best_ext_val = jnp.max(masked_ext, axis=2)  # (B, W)
+        iota_e = jax.lax.broadcasted_iota(jnp.int32, (b, w, e_num), 2)
+        best_flat = jnp.min(
+            jnp.where(masked_ext == best_ext_val[:, :, None], iota_e, e_num),
+            axis=2,
+        )  # (B, W) flat index parent * C + char
+        take_ext = best_ext_val > stay_score_pre
+        stay_parent = jnp.where(take_ext, best_flat // c_num, iota_w)
+        stay_newchar = jnp.where(take_ext, best_flat % c_num, -1)
+        ext2 = jnp.where(jnp.any(match, axis=1), NEG, ext2)
+
+        # ---- candidate pool: stays then extends (XLA layout) ----
+        cand_pb = jnp.concatenate(
+            [stay_pb, jnp.full((b, w * c_num), NEG, jnp.float32)], axis=1
+        )
+        cand_pnb = jnp.concatenate([stay_pnb, ext2], axis=1)
+        cand_h1 = jnp.concatenate([h1, eh1_2], axis=1)
+        cand_h2 = jnp.concatenate([h2, eh2_2], axis=1)
+        ext_last = jnp.concatenate([iota_c] * w, axis=1)  # (B, E)
+        cand_last = jnp.concatenate([last, ext_last], axis=1)
+        ext_parent = jnp.concatenate(
+            [jnp.full((b, c_num), j, jnp.int32) for j in range(w)], axis=1
+        )
+        cand_parent = jnp.concatenate([stay_parent, ext_parent], axis=1)
+        cand_new = jnp.concatenate([stay_newchar, ext_last], axis=1)
+        score = _lse(cand_pb, cand_pnb)  # (B, P)
+
+        # ---- top-W selection: W unrolled (max, first index, select,
+        # mask) rounds — lax.top_k tie-breaking (lowest index wins).
+        # Picked entries are masked to a sentinel STRICTLY below the
+        # NEG floor: masking to NEG would make them tie with (and get
+        # re-picked before) genuine NEG candidates, duplicating a live
+        # beam whose mass the absorption dedup then double-counts. ----
+        picked = -3.0e38
+        cols = {k: [] for k in
+                ("pb", "pnb", "h1", "h2", "last", "parent", "new")}
+        # hash lanes go through the select as int32 bit-patterns:
+        # Mosaic has no unsigned reductions, and a one-hot-masked sum
+        # is exact under any reinterpretation
+        as_i32 = lambda u: jax.lax.bitcast_convert_type(u, jnp.int32)  # noqa: E731
+        arrs = dict(pb=cand_pb, pnb=cand_pnb, h1=as_i32(cand_h1),
+                    h2=as_i32(cand_h2), last=cand_last,
+                    parent=cand_parent, new=cand_new)
+        for _k in range(w):
+            m = jnp.max(score, axis=1, keepdims=True)  # (B, 1)
+            idx = jnp.min(
+                jnp.where(score == m, iota_p, pool), axis=1, keepdims=True
+            )
+            onehot = iota_p == idx  # (B, P)
+            for name, arr in arrs.items():
+                zero = jnp.zeros((), arr.dtype)
+                cols[name].append(
+                    jnp.sum(jnp.where(onehot, arr, zero), axis=1,
+                            keepdims=True)
+                )
+            score = jnp.where(onehot, picked, score)
+        sel = {name: jnp.concatenate(cs, axis=1)
+               for name, cs in cols.items()}
+
+        # ---- freeze state past each utterance's length ----
+        alive = t < len_ref[:]  # (B, 1) — lengths arrive as a column
+        # vector: an i1 (B,) -> (B, 1) minor-dim insertion is
+        # unsupported in Mosaic, so it must never exist
+        as_u32 = lambda s: jax.lax.bitcast_convert_type(s, jnp.uint32)  # noqa: E731
+        pb_ref[:] = jnp.where(alive, sel["pb"], pb)
+        pnb_ref[:] = jnp.where(alive, sel["pnb"], pnb)
+        h1_ref[:] = jnp.where(alive, as_u32(sel["h1"]), h1)
+        h2_ref[:] = jnp.where(alive, as_u32(sel["h2"]), h2)
+        last_ref[:] = jnp.where(alive, sel["last"], last)
+        parents_ref[i] = jnp.where(alive, sel["parent"], iota_w)
+        chars_ref[i] = jnp.where(alive, sel["new"], -1)
+        return 0
+
+    jax.lax.fori_loop(0, time_chunk, body, 0, unroll=True)
+    scores_ref[:] = _lse(pb_ref[:], pnb_ref[:])
+
+
+def beam_scan_pallas(logprobs, lengths, *, beam_width, blank_id,
+                     cutoff_top_n=40, cutoff_prob=1.0,
+                     prune_logp=-20.0, time_chunk=DEFAULT_TIME_CHUNK):
+    """Fused no-LM prefix beam search.
+
+    Args:
+      logprobs: (B, T, C) float log-probabilities.
+      lengths: (B,) int32 valid frame counts.
+    Returns:
+      parents (B, T, W) int32, chars (B, T, W) int32 (-1 = stay),
+      scores (B, W) float32 UNSORTED — same contract as the XLA
+      decoder's scan (decode/beam.py make_beam_search), fed to the same
+      host backtracking.
+    """
+    b, t, c_num = logprobs.shape
+    w = beam_width
+    t_pad = -(-t // time_chunk) * time_chunk
+    lp = jnp.transpose(logprobs, (1, 0, 2)).astype(jnp.float32)
+    if t_pad != t:
+        lp = jnp.pad(lp, ((0, t_pad - t), (0, 0), (0, 0)))
+    n_chunks = t_pad // time_chunk
+
+    kern = functools.partial(
+        _beam_kernel, time_chunk=time_chunk, beam_width=w,
+        blank_id=blank_id, cutoff_top_n=cutoff_top_n,
+        cutoff_prob=cutoff_prob, prune_logp=prune_logp,
+    )
+    parents, chars, scores = pl.pallas_call(
+        kern,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((time_chunk, b, c_num), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((time_chunk, b, w), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((time_chunk, b, w), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, w), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((t_pad, b, w), jnp.int32),
+            jax.ShapeDtypeStruct((t_pad, b, w), jnp.int32),
+            jax.ShapeDtypeStruct((b, w), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((b, w), jnp.float32),  # pb
+            pltpu.VMEM((b, w), jnp.float32),  # pnb
+            pltpu.VMEM((b, w), jnp.uint32),   # h1
+            pltpu.VMEM((b, w), jnp.uint32),   # h2
+            pltpu.VMEM((b, w), jnp.int32),    # last
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
+        interpret=INTERPRET,
+    )(lp, lengths.astype(jnp.int32).reshape(b, 1))
+
+    parents = jnp.transpose(parents[:t], (1, 0, 2))
+    chars = jnp.transpose(chars[:t], (1, 0, 2))
+    if w <= 127 and c_num <= 126:
+        # backpointers fit int8 (parent < W, char in [-1, C)): the
+        # (B, T, W) device->host copy is the decode bottleneck on
+        # tunneled hosts — 4x fewer bytes than int32
+        parents = parents.astype(jnp.int8)
+        chars = chars.astype(jnp.int8)
+    return parents, chars, scores
