@@ -39,6 +39,20 @@ DEFAULT_TIME_CHUNK = 8
 # 16 MB. The recurrent weights alone are ~7.7 MB bf16, so raise it.
 VMEM_LIMIT = 100 * 1024 * 1024
 
+# The backward kernel's double-buffered per-chunk windows scale with
+# time_chunk * B * H; measured on v5e: B=128/H=800/tc=16 needs 163 MB
+# (OOM at the 128 MB cap) while tc=8 fits. Budget tc*B*H at the
+# largest power-of-two chunk that stays within what tc=8/B=128/H=800
+# demonstrably fits.
+_CHUNK_BUDGET_ELEMS = 8 * 128 * 800
+
+
+def _auto_time_chunk(b: int, h: int) -> int:
+    tc = DEFAULT_TIME_CHUNK
+    while tc > 1 and tc * b * h > _CHUNK_BUDGET_ELEMS:
+        tc //= 2
+    return tc
+
 # Test hook: run kernels in the Pallas interpreter (CPU) for numerics
 # checks without TPU hardware.
 INTERPRET = False
@@ -147,7 +161,7 @@ def _pad_time(x, tc):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def bigru_pallas(xg, w_h, b_h, mask, time_chunk=DEFAULT_TIME_CHUNK):
+def bigru_pallas(xg, w_h, b_h, mask, time_chunk=None):
     """Fused bidirectional GRU time loop.
 
     Args:
@@ -167,6 +181,8 @@ def bigru_pallas(xg, w_h, b_h, mask, time_chunk=DEFAULT_TIME_CHUNK):
 def _bigru_fwd(xg, w_h, b_h, mask, time_chunk):
     t_orig, _, b, g3 = xg.shape
     h = w_h.shape[1]
+    if time_chunk is None:
+        time_chunk = _auto_time_chunk(b, h)
     xg_p = _pad_time(xg, time_chunk)
     m_p = _pad_time(mask.astype(jnp.float32), time_chunk)
     t_pad = xg_p.shape[0]
@@ -201,6 +217,8 @@ def _bigru_bwd(time_chunk, res, dy):
     xg, w_h, b_h, mask, ys = res
     t_orig, _, b, g3 = xg.shape
     h = w_h.shape[1]
+    if time_chunk is None:
+        time_chunk = _auto_time_chunk(b, h)
 
     h_prev = jnp.concatenate([jnp.zeros_like(ys[:1]), ys[:-1]], axis=0)
     xg_p = _pad_time(xg, time_chunk)
