@@ -366,4 +366,30 @@ int tpuasr_beam_decode_batch(
   }
   return 0;
 }
+
+// Levenshtein distance over int32 token sequences (the reference used
+// the python-Levenshtein C extension for WER/CER, ref:decoder.py /
+// SURVEY.md 3.2; tpuasr.decode.metrics calls this when the lib is
+// built and falls back to vectorized NumPy otherwise).
+int32_t tpuasr_edit_distance(const int32_t* a, int32_t na,
+                             const int32_t* b, int32_t nb) {
+  if (na == 0) return nb;
+  if (nb == 0) return na;
+  std::vector<int32_t> prev(nb + 1), cur(nb + 1);
+  for (int32_t j = 0; j <= nb; ++j) prev[j] = j;
+  for (int32_t i = 1; i <= na; ++i) {
+    cur[0] = i;
+    const int32_t ai = a[i - 1];
+    for (int32_t j = 1; j <= nb; ++j) {
+      int32_t best = prev[j - 1] + (ai != b[j - 1]);
+      int32_t del = prev[j] + 1;
+      int32_t ins = cur[j - 1] + 1;
+      if (del < best) best = del;
+      if (ins < best) best = ins;
+      cur[j] = best;
+    }
+    std::swap(prev, cur);
+  }
+  return prev[nb];
+}
 }

@@ -41,10 +41,14 @@ def main(argv=None) -> int:
 
     pkg = load_checkpoint(args.model_path)
     alphabet = pkg.alphabet
-    variables = {
+    import jax
+
+    # device_put once: numpy variables re-upload on every dispatch
+    # otherwise (see cli/test.py)
+    variables = jax.device_put({
         "params": pkg.variables["params"],
         "batch_stats": pkg.variables["batch_stats"],
-    }
+    })
     model_cfg = apply_runtime_overrides(pkg.model_config, args)
     eval_step = make_eval_step(model_cfg, pkg.frontend_config)
     decoder = build_decoder(args, alphabet)

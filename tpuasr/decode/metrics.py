@@ -4,13 +4,52 @@ Reference parity: ``Decoder.wer()`` / ``Decoder.cer()`` in
 ref:decoder.py — Levenshtein distance over words / characters. The
 reference aggregate (ref:test.py) sums per-utterance distances and
 divides by total reference token count; ``ErrorRateMeter`` reproduces
-that exactly. Pure NumPy (eval-time only — not a hot path; the
-reference used the python-Levenshtein C extension, SURVEY.md §3.2).
+that exactly.
+
+The reference used the python-Levenshtein C extension (SURVEY.md
+§3.2); here the distance runs in the native C++ lib when built
+(``make -C native``, same .so as the host beam decoder) and otherwise
+in fully vectorized NumPy — the row recurrence's horizontal dependency
+``cur[j] = min(..., cur[j-1]+1)`` resolves in one pass as
+``minimum.accumulate(c - arange) + arange``. Batch eval scores
+thousands of utterances on one host core; a Python-level inner loop
+here was the cli.test bottleneck.
 """
 
 from __future__ import annotations
 
+import ctypes
+import os
+
 import numpy as np
+
+_NATIVE_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "native", "libtpuasr_native.so",
+)
+_native_dist = None
+
+
+def _load_native():
+    global _native_dist
+    if _native_dist is not None:
+        return _native_dist
+    try:
+        lib = ctypes.CDLL(_NATIVE_PATH)
+        fn = lib.tpuasr_edit_distance
+        fn.restype = ctypes.c_int32
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        fn.argtypes = [i32p, ctypes.c_int32, i32p, ctypes.c_int32]
+        _native_dist = fn
+    except (OSError, AttributeError):
+        _native_dist = False  # lib missing or too old: NumPy fallback
+    return _native_dist
+
+
+def _to_ids(seq) -> np.ndarray:
+    """Tokens -> int32 codes. Chars use their codepoints; arbitrary
+    hashables (words) are interned per call pair via _lev_dp."""
+    return np.array([ord(c) for c in seq], dtype=np.int32)
 
 
 def _lev_dp(a, b) -> int:
@@ -18,15 +57,28 @@ def _lev_dp(a, b) -> int:
         a, b = b, a
     if len(b) == 0:
         return len(a)
-    bn = np.array(list(b) if isinstance(b, str) else list(b), dtype=object)
-    prev = np.arange(len(b) + 1, dtype=np.int64)
-    for i, ca in enumerate(a, start=1):
-        sub = prev[:-1] + (bn != ca)
-        cur = np.empty_like(prev)
-        cur[0] = i
-        for j in range(1, len(b) + 1):
-            cur[j] = min(sub[j - 1], prev[j] + 1, cur[j - 1] + 1)
-        prev = cur
+    if isinstance(a, str):
+        ai, bi = _to_ids(a), _to_ids(b)
+    else:  # word lists: intern tokens to ids
+        vocab: dict = {}
+        ai = np.array([vocab.setdefault(t, len(vocab)) for t in a], np.int32)
+        bi = np.array([vocab.setdefault(t, len(vocab)) for t in b], np.int32)
+    fn = _load_native()
+    if fn:
+        return int(fn(
+            ai.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(ai),
+            bi.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(bi),
+        ))
+    nb = len(bi)
+    ar = np.arange(nb + 1, dtype=np.int64)
+    prev = ar.copy()
+    c = np.empty(nb + 1, dtype=np.int64)
+    for i in range(1, len(ai) + 1):
+        # c[j] = min(prev[j-1] + subst, prev[j] + 1) for j>=1; c[0] = i
+        np.minimum(prev[:-1] + (bi != ai[i - 1]), prev[1:] + 1, out=c[1:])
+        c[0] = i
+        # cur[j] = min_{k<=j} (c[k] + j - k): one accumulate pass
+        prev = np.minimum.accumulate(c - ar) + ar
     return int(prev[-1])
 
 
