@@ -112,3 +112,21 @@ def test_http_server_round_trip(ckpt):
     finally:
         server.shutdown()
         svc.close()
+
+
+def test_service_warmup_compiles_before_traffic(ckpt):
+    # warmup must pre-build the (bucket, batch) graphs: after init, the
+    # first request's bucket is already compiled (we can only assert
+    # behavior here — it serves promptly and correctly)
+    svc = TranscriptionService(
+        ckpt, ServeConfig(max_batch=2, batch_window_ms=1.0,
+                          warmup_seconds=(0.3,))
+    )
+    try:
+        rng = np.random.RandomState(1)
+        text, offsets = svc.transcribe_wave(
+            (0.1 * rng.randn(4800)).astype(np.float32), timeout=60
+        )
+        assert isinstance(text, str)
+    finally:
+        svc.close()

@@ -28,6 +28,9 @@ def main(argv=None) -> int:
     p.add_argument("--port", type=int, default=8080)
     p.add_argument("--max-batch", type=int, default=32)
     p.add_argument("--batch-window-ms", type=float, default=10.0)
+    p.add_argument("--warmup-seconds", type=float, nargs="*", default=[],
+                   help="compile these request-duration buckets before "
+                   "listening (cold TPU compiles take minutes)")
     add_decoder_args(p)
     add_runtime_args(p)
     args = p.parse_args(argv)
@@ -39,7 +42,8 @@ def main(argv=None) -> int:
     service = TranscriptionService(
         args.model_path,
         ServeConfig(max_batch=args.max_batch,
-                    batch_window_ms=args.batch_window_ms),
+                    batch_window_ms=args.batch_window_ms,
+                    warmup_seconds=tuple(args.warmup_seconds)),
         decoder=decoder,
         rnn_impl=getattr(args, "rnn_impl", None),
     )

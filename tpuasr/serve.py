@@ -37,6 +37,11 @@ class ServeConfig:
     return_offsets: bool = False
     # pad every request up in a fixed bucket ladder -> static shapes
     max_seconds: float = 16.5
+    # durations (seconds) whose buckets are compiled at startup, BEFORE
+    # the service takes traffic: a cold (bucket, batch) graph compiles
+    # for minutes on TPU and would blow through request timeouts if the
+    # first real request paid it
+    warmup_seconds: tuple = ()
 
 
 class TranscriptionService:
@@ -70,10 +75,29 @@ class TranscriptionService:
         self.spec = BucketSpec(sample_rate=self.frontend_cfg.sample_rate)
         self._jnp = jnp
 
+        for sec in self.cfg.warmup_seconds:
+            self.warmup(sec)
+
         self._queue: queue.Queue = queue.Queue()
         self._stop = threading.Event()
         self._worker = threading.Thread(target=self._serve_loop, daemon=True)
         self._worker.start()
+
+    def warmup(self, seconds: float) -> None:
+        """Compile the (bucket, max_batch) graphs a request of this
+        duration would hit — eval forward AND decoder — so production
+        traffic never pays a cold compile."""
+        jnp = self._jnp
+        cap = int(self.cfg.max_seconds * self.spec.sample_rate)
+        n = min(int(seconds * self.spec.sample_rate), cap)
+        b_idx = self.spec.bucket_of(n / self.spec.sample_rate)
+        l_bucket = self.spec.bucket_samples(b_idx)
+        arr = np.zeros((self.cfg.max_batch, l_bucket), np.float32)
+        lengths = np.full((self.cfg.max_batch,), n, np.int32)
+        logits, out_lengths = self._eval_step(
+            self._variables, jnp.asarray(arr), jnp.asarray(lengths)
+        )
+        self.decoder.decode(logits, out_lengths, return_offsets=True)
 
     # ---------- public API ----------
 
