@@ -64,10 +64,13 @@ def main(mode: str = "train") -> None:
     argv = sys.argv[1:]
     rnn_impl = (argv[argv.index("--rnn-impl") + 1]
                 if "--rnn-impl" in argv else "pallas")
+    rnn_type = (argv[argv.index("--rnn-type") + 1]
+                if "--rnn-type" in argv else "gru")
     ctc_impl = (argv[argv.index("--ctc-impl") + 1]
                 if "--ctc-impl" in argv else "pallas")
     train_cfg = TrainConfig(ctc_impl=ctc_impl)
-    model_cfg = ModelConfig(n_classes=alphabet.size, rnn_impl=rnn_impl)
+    model_cfg = ModelConfig(n_classes=alphabet.size, rnn_impl=rnn_impl,
+                            rnn_type=rnn_type)
     state = init_train_state(model_cfg, train_cfg, jax.random.PRNGKey(0))
     if mode == "infer":
         _bench_infer(model_cfg, frontend_cfg, state)
@@ -116,7 +119,8 @@ def main(mode: str = "train") -> None:
     except Exception:
         rnn_impl = "scan"
         train_cfg = TrainConfig()  # scan CTC too
-        model_cfg = ModelConfig(n_classes=alphabet.size, rnn_impl=rnn_impl)
+        model_cfg = ModelConfig(n_classes=alphabet.size, rnn_impl=rnn_impl,
+                                rnn_type=rnn_type)
         state = init_train_state(model_cfg, train_cfg, jax.random.PRNGKey(0))
         train_step = make_train_step(model_cfg, frontend_cfg, train_cfg)
         for i in range(WARMUP):
@@ -143,6 +147,7 @@ def main(mode: str = "train") -> None:
             "utt_seconds": SECONDS,
             "device": str(jax.devices()[0]),
             "rnn_impl": rnn_impl,
+            "rnn_type": rnn_type,
             "loss": float(m["loss"]),
         },
     }

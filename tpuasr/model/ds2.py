@@ -384,6 +384,16 @@ class BiRecurrentCore(nn.Module):
             ys = jnp.moveaxis(ys, 0, 2)  # (2, B, T, H)
             return ys[0], ys[1]
 
+        if self.impl == "pallas" and self.rnn_type == "lstm":
+            from tpuasr.ops.lstm import bilstm_pallas
+
+            ys = bilstm_pallas(
+                xg_t.astype(dt), w_h.astype(dt), b_h.astype(jnp.float32),
+                mask_t.astype(jnp.float32),
+            )  # (T, 2, B, H)
+            ys = jnp.moveaxis(ys, 0, 2)
+            return ys[0], ys[1]
+
         m_t = mask_t[:, :, :, None].astype(dt)  # (T, 2, B, 1)
         rnn_type = self.rnn_type
 
