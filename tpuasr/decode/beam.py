@@ -594,8 +594,11 @@ class DeviceBeamDecoder:
             return False  # LM fusion lives on the XLA path only
         if self.impl == "pallas":
             return True
-        # "auto": the Mosaic kernel needs a TPU (tests force it on CPU
-        # via impl="pallas" + ops.beam.INTERPRET)
+        from tpuasr.ops import beam as _ops_beam
+
+        if _ops_beam.INTERPRET:
+            return True  # interpreter mode runs anywhere (tests)
+        # "auto": the Mosaic kernel needs a TPU
         d = jax.config.jax_default_device
         if d is not None:
             platform = d if isinstance(d, str) else getattr(d, "platform", d)

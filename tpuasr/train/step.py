@@ -240,6 +240,50 @@ def make_resident_eval_runner(model_cfg: ModelConfig,
     return run
 
 
+def make_resident_beam_eval_runner(model_cfg: ModelConfig,
+                                   frontend_cfg: FrontendConfig,
+                                   beam_width: int, blank_id: int,
+                                   cutoff_top_n: int = 40,
+                                   cutoff_prob: float = 1.0,
+                                   prune_logp: float = -20.0):
+    """Beam-search eval-in-a-scan: ONE dispatch runs eval forward +
+    the fused Pallas beam kernel (no-LM) for a whole bucket schedule,
+    emitting the packed int16 backpointer readout per chunk — the
+    beam analogue of make_resident_eval_runner (BASELINE config 4:
+    "beam-search decoding ... batch eval on full LapsBM"). LM-fused
+    decodes stay on the per-batch path. Returns jitted fn:
+      (variables, waves_bank, wl_bank, idx_mat (K,B)) ->
+      packed (K, B, T'*W + 2W) int16 (decode/beam.unpack_decode_outputs
+      + _backtrack on host).
+    """
+    from functools import partial
+
+    from tpuasr.decode.beam import pack_decode_outputs
+    from tpuasr.ops.beam import beam_scan_pallas
+
+    model = DeepSpeech2(model_cfg)
+    kernel = partial(beam_scan_pallas, beam_width=beam_width,
+                     blank_id=blank_id, cutoff_top_n=cutoff_top_n,
+                     cutoff_prob=cutoff_prob, prune_logp=prune_logp)
+
+    @jax.jit
+    def run(variables, waves_bank, wl_bank, idx_mat):
+        def body(_, idx):
+            waves = _waves_to_float(jnp.take(waves_bank, idx, axis=0))
+            wl = jnp.take(wl_bank, idx, axis=0)
+            feats, feat_lengths = log_spectrogram(waves, wl, frontend_cfg)
+            logits, out_lengths = model.apply(variables, feats, feat_lengths,
+                                              train=False)
+            lp = jax.nn.log_softmax(logits, axis=-1)
+            parents, chars, scores = kernel(lp, out_lengths)
+            return None, pack_decode_outputs(parents, chars, scores)
+
+        _, packed = jax.lax.scan(body, None, idx_mat)
+        return packed
+
+    return run
+
+
 def make_eval_step(model_cfg: ModelConfig, frontend_cfg: FrontendConfig):
     """Returns jitted fn: (variables, waves, wave_lengths) ->
     (logits, out_lengths) with eval-mode BN (running stats).
