@@ -108,3 +108,24 @@ def test_forward_large_batch():
     ys_r = bigru_reference(xg, w_h, b_h, mask)
     np.testing.assert_allclose(np.asarray(ys_k), np.asarray(ys_r),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_unidirectional_model_pallas_matches_scan():
+    """RecurrentCore (unidirectional, Lookahead models) runs the fused
+    kernel with a singleton direction axis; logits match scan."""
+    from tpuasr.model.ds2 import DeepSpeech2, ModelConfig
+
+    rng = np.random.RandomState(9)
+    feats = jnp.asarray(rng.randn(2, 40, 161).astype(np.float32))
+    lengths = jnp.asarray(np.array([40, 23], np.int32))
+    kw = dict(n_classes=10, hidden_size=16, hidden_layers=2,
+              bidirectional=False, lookahead_context=4,
+              compute_dtype=jnp.float32)
+    m_s = DeepSpeech2(ModelConfig(rnn_impl="scan", **kw))
+    m_p = DeepSpeech2(ModelConfig(rnn_impl="pallas", **kw))
+    variables = m_s.init(jax.random.PRNGKey(0), feats, lengths)
+    lo_s, ol_s = m_s.apply(variables, feats, lengths)
+    lo_p, ol_p = m_p.apply(variables, feats, lengths)
+    np.testing.assert_array_equal(np.asarray(ol_s), np.asarray(ol_p))
+    np.testing.assert_allclose(np.asarray(lo_s), np.asarray(lo_p),
+                               rtol=2e-4, atol=2e-4)

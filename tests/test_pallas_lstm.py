@@ -119,3 +119,22 @@ def test_train_step_with_pallas_lstm_learns():
                         jnp.float32(3e-3), jax.random.PRNGKey(i))
         losses.append(float(m["loss"]))
     assert losses[-1] < losses[0], losses
+
+
+def test_unidirectional_lstm_pallas_matches_scan():
+    from tpuasr.model.ds2 import DeepSpeech2, ModelConfig
+
+    rng = np.random.RandomState(10)
+    feats = jnp.asarray(rng.randn(2, 30, 161).astype(np.float32))
+    lengths = jnp.asarray(np.array([30, 17], np.int32))
+    kw = dict(n_classes=10, hidden_size=16, hidden_layers=1,
+              rnn_type="lstm", bidirectional=False, lookahead_context=4,
+              compute_dtype=jnp.float32)
+    m_s = DeepSpeech2(ModelConfig(rnn_impl="scan", **kw))
+    m_p = DeepSpeech2(ModelConfig(rnn_impl="pallas", **kw))
+    variables = m_s.init(jax.random.PRNGKey(0), feats, lengths)
+    lo_s, ol_s = m_s.apply(variables, feats, lengths)
+    lo_p, ol_p = m_p.apply(variables, feats, lengths)
+    np.testing.assert_array_equal(np.asarray(ol_s), np.asarray(ol_p))
+    np.testing.assert_allclose(np.asarray(lo_s), np.asarray(lo_p),
+                               rtol=2e-4, atol=2e-4)

@@ -232,6 +232,7 @@ class RecurrentCore(nn.Module):
     compute_dtype: Any
     param_dtype: Any
     unroll: int = 8
+    impl: str = "scan"
 
     @nn.compact
     def __call__(self, x, mask):
@@ -259,6 +260,22 @@ class RecurrentCore(nn.Module):
         batch = x.shape[0]
         xg_t = jnp.swapaxes(x_proj, 0, 1)  # (T, B, G*H) time-major
         m_t = jnp.swapaxes(mask, 0, 1)[:, :, None].astype(dt)  # (T, B, 1)
+
+        if self.impl == "pallas" and self.rnn_type in ("gru", "lstm"):
+            # the fused bidirectional kernels are direction-count
+            # generic: run them with a singleton direction axis
+            if self.rnn_type == "gru":
+                from tpuasr.ops.gru import bigru_pallas as fused
+            else:
+                from tpuasr.ops.lstm import bilstm_pallas as fused
+            ys = fused(
+                xg_t.astype(dt)[:, None],  # (T, 1, B, G*H)
+                w_h[None].astype(dt),
+                b_h[None].astype(jnp.float32),
+                jnp.swapaxes(mask, 0, 1)[:, None].astype(jnp.float32),
+            )  # (T, 1, B, H)
+            ys = jnp.swapaxes(ys[:, 0], 0, 1)  # (B, T, H)
+            return ys * mask[:, :, None].astype(ys.dtype)
 
         rnn_type = self.rnn_type
 
@@ -463,7 +480,8 @@ class BatchRNN(nn.Module):
         if not self.bidirectional:
             return RecurrentCore(
                 self.hidden, self.rnn_type, self.compute_dtype,
-                self.param_dtype, unroll=self.unroll, name="fwd",
+                self.param_dtype, unroll=self.unroll, impl=self.impl,
+                name="fwd",
             )(x, mask)
         x_flip = jnp.flip(x, axis=1)
         t_max = x.shape[1]

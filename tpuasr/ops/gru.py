@@ -69,16 +69,19 @@ def _gru_gates(xg, hg, h_prev):
 
 
 def _fwd_kernel(xg_ref, wh_ref, bh_ref, m_ref, out_ref, h_ref, *, time_chunk):
+    n_dir = wh_ref.shape[0]  # 2 bidirectional, 1 unidirectional
+
     @pl.when(pl.program_id(0) == 0)
     def _init():
         h_ref[:] = jnp.zeros_like(h_ref)
 
     def body(t, _):
-        h = h_ref[:].astype(jnp.float32)  # (2, B, H)
-        hg0 = jnp.dot(h_ref[0], wh_ref[0], preferred_element_type=jnp.float32)
-        hg1 = jnp.dot(h_ref[1], wh_ref[1], preferred_element_type=jnp.float32)
-        hg = jnp.stack([hg0, hg1]) + bh_ref[:].astype(jnp.float32)[:, None, :]
-        xg = xg_ref[t].astype(jnp.float32)  # (2, B, 3H)
+        h = h_ref[:].astype(jnp.float32)  # (D, B, H)
+        hg = jnp.stack([
+            jnp.dot(h_ref[d], wh_ref[d], preferred_element_type=jnp.float32)
+            for d in range(n_dir)
+        ]) + bh_ref[:].astype(jnp.float32)[:, None, :]
+        xg = xg_ref[t].astype(jnp.float32)  # (D, B, 3H)
         h_new, _gates = _gru_gates(xg, hg, h)
         m = m_ref[t].astype(jnp.float32)[:, :, None]  # (2, B, 1)
         h_new = m * h_new + (1.0 - m) * h
@@ -99,18 +102,20 @@ def _bwd_kernel(xg_ref, wh_ref, bh_ref, m_ref, hprev_ref, dy_ref,
     also the gradient wrt xg_t for the r/z gates and xn (see below).
     """
 
+    n_dir = wh_ref.shape[0]
+
     @pl.when(pl.program_id(0) == 0)
     def _init():
         dh_ref[:] = jnp.zeros_like(dh_ref)
 
     def body(i, _):
         t = time_chunk - 1 - i
-        h_prev = hprev_ref[t].astype(jnp.float32)  # (2, B, H)
-        hg0 = jnp.dot(hprev_ref[t, 0], wh_ref[0],
-                      preferred_element_type=jnp.float32)
-        hg1 = jnp.dot(hprev_ref[t, 1], wh_ref[1],
-                      preferred_element_type=jnp.float32)
-        hg = jnp.stack([hg0, hg1]) + bh_ref[:].astype(jnp.float32)[:, None, :]
+        h_prev = hprev_ref[t].astype(jnp.float32)  # (D, B, H)
+        hg = jnp.stack([
+            jnp.dot(hprev_ref[t, d], wh_ref[d],
+                    preferred_element_type=jnp.float32)
+            for d in range(n_dir)
+        ]) + bh_ref[:].astype(jnp.float32)[:, None, :]
         xg = xg_ref[t].astype(jnp.float32)
         _, (r, z, n) = _gru_gates(xg, hg, h_prev)
         _, _, hn = jnp.split(hg, 3, axis=-1)
@@ -133,11 +138,11 @@ def _bwd_kernel(xg_ref, wh_ref, bh_ref, m_ref, hprev_ref, dy_ref,
         # chain into h_{t-1}: direct term + through the recurrent matmul
         # (contract on the gate axis — no transpose materialization)
         dims = (((1,), (1,)), ((), ()))
-        dstep0 = jax.lax.dot_general(dhg[0], wh_ref[0], dims,
-                                     preferred_element_type=jnp.float32)
-        dstep1 = jax.lax.dot_general(dhg[1], wh_ref[1], dims,
-                                     preferred_element_type=jnp.float32)
-        dh_prev = jnp.stack([dstep0, dstep1]) + dh_direct * m
+        dh_prev = jnp.stack([
+            jax.lax.dot_general(dhg[d], wh_ref[d], dims,
+                                preferred_element_type=jnp.float32)
+            for d in range(n_dir)
+        ]) + dh_direct * m
         # where masked, h passed through: dh flows to t-1 unchanged
         dh_ref[:] = (m * dh_prev + (1.0 - m) * dh).astype(dh_ref.dtype)
 
@@ -179,7 +184,7 @@ def bigru_pallas(xg, w_h, b_h, mask, time_chunk=None):
 
 
 def _bigru_fwd(xg, w_h, b_h, mask, time_chunk):
-    t_orig, _, b, g3 = xg.shape
+    t_orig, nd, b, g3 = xg.shape
     h = w_h.shape[1]
     if time_chunk is None:
         time_chunk = _auto_time_chunk(b, h)
@@ -192,19 +197,19 @@ def _bigru_fwd(xg, w_h, b_h, mask, time_chunk):
         functools.partial(_fwd_kernel, time_chunk=time_chunk),
         grid=(n_chunks,),
         in_specs=[
-            pl.BlockSpec((time_chunk, 2, b, g3), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((time_chunk, nd, b, g3), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, h, g3), lambda i: (0, 0, 0),
+            pl.BlockSpec((nd, h, g3), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, g3), lambda i: (0, 0),
+            pl.BlockSpec((nd, g3), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((time_chunk, 2, b), lambda i: (i, 0, 0),
+            pl.BlockSpec((time_chunk, nd, b), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((time_chunk, 2, b, h), lambda i: (i, 0, 0, 0),
+        out_specs=pl.BlockSpec((time_chunk, nd, b, h), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((t_pad, 2, b, h), xg.dtype),
-        scratch_shapes=[pltpu.VMEM((2, b, h), xg.dtype)],
+        out_shape=jax.ShapeDtypeStruct((t_pad, nd, b, h), xg.dtype),
+        scratch_shapes=[pltpu.VMEM((nd, b, h), xg.dtype)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         interpret=INTERPRET,
     )(xg_p, w_h.astype(xg.dtype), b_h.astype(jnp.float32), m_p)
@@ -215,7 +220,7 @@ def _bigru_fwd(xg, w_h, b_h, mask, time_chunk):
 
 def _bigru_bwd(time_chunk, res, dy):
     xg, w_h, b_h, mask, ys = res
-    t_orig, _, b, g3 = xg.shape
+    t_orig, nd, b, g3 = xg.shape
     h = w_h.shape[1]
     if time_chunk is None:
         time_chunk = _auto_time_chunk(b, h)
@@ -234,18 +239,18 @@ def _bigru_bwd(time_chunk, res, dy):
         functools.partial(_bwd_kernel, time_chunk=time_chunk),
         grid=(n_chunks,),
         in_specs=[
-            pl.BlockSpec((time_chunk, 2, b, g3), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, h, g3), lambda i: (0, 0, 0),
+            pl.BlockSpec((time_chunk, nd, b, g3), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nd, h, g3), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, g3), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((time_chunk, 2, b), rev2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((time_chunk, 2, b, h), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((time_chunk, 2, b, h), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nd, g3), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((time_chunk, nd, b), rev2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((time_chunk, nd, b, h), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((time_chunk, nd, b, h), rev, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((time_chunk, 2, b, g3 + h), rev,
+        out_specs=pl.BlockSpec((time_chunk, nd, b, g3 + h), rev,
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((t_pad, 2, b, g3 + h), xg.dtype),
-        scratch_shapes=[pltpu.VMEM((2, b, h), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((t_pad, nd, b, g3 + h), xg.dtype),
+        scratch_shapes=[pltpu.VMEM((nd, b, h), jnp.float32)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         interpret=INTERPRET,
     )(xg_p, w_h.astype(xg.dtype), b_h.astype(jnp.float32), m_p, hprev_p, dy_p)
@@ -287,6 +292,6 @@ def bigru_reference(xg, w_h, b_h, mask):
         h_new = h_new.astype(dt)
         return h_new, h_new
 
-    h0 = jnp.zeros((2, xg.shape[2], w_h.shape[1]), dt)
+    h0 = jnp.zeros((xg.shape[1], xg.shape[2], w_h.shape[1]), dt)
     _, ys = jax.lax.scan(step, h0, (xg, mask))
     return ys
