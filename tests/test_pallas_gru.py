@@ -129,3 +129,30 @@ def test_unidirectional_model_pallas_matches_scan():
     np.testing.assert_array_equal(np.asarray(ol_s), np.asarray(ol_p))
     np.testing.assert_allclose(np.asarray(lo_s), np.asarray(lo_p),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_singleton_direction_shapes_and_grads():
+    """nd=1 (unidirectional): outputs AND cotangents nd=1 == scan."""
+    rng = np.random.RandomState(12)
+    t, b, h = 6, 3, 8
+    xg = jnp.asarray(rng.randn(t, 1, b, 3 * h).astype(np.float32)) * 0.5
+    w_h = jnp.asarray(rng.randn(1, h, 3 * h).astype(np.float32)) * 0.3
+    b_h = jnp.asarray(rng.randn(1, 3 * h).astype(np.float32)) * 0.1
+    mask = jnp.asarray(
+        (np.arange(t)[:, None, None] <
+         np.array([t, t - 2, 3])[None, None, :]).astype(np.float32)
+    )
+    ys = bigru_pallas(xg, w_h, b_h, mask, 2)
+    assert ys.shape == (t, 1, b, h)
+    np.testing.assert_allclose(
+        np.asarray(ys), np.asarray(bigru_reference(xg, w_h, b_h, mask)),
+        rtol=2e-5, atol=2e-5)
+    dy = jnp.asarray(rng.randn(t, 1, b, h).astype(np.float32))
+    gk = jax.grad(lambda *a: jnp.sum(bigru_pallas(*a, mask, 2) * dy),
+                  argnums=(0, 1, 2))(xg, w_h, b_h)
+    gr = jax.grad(lambda *a: jnp.sum(bigru_reference(*a, mask) * dy),
+                  argnums=(0, 1, 2))(xg, w_h, b_h)
+    for a, b_, name in zip(gk, gr, ["dxg", "dw_h", "db_h"]):
+        assert a.shape == b_.shape, (name, a.shape, b_.shape)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=3e-4, atol=3e-4, err_msg=name)

@@ -138,3 +138,32 @@ def test_unidirectional_lstm_pallas_matches_scan():
     np.testing.assert_array_equal(np.asarray(ol_s), np.asarray(ol_p))
     np.testing.assert_allclose(np.asarray(lo_s), np.asarray(lo_p),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_singleton_direction_shapes_and_grads():
+    """nd=1 (unidirectional): outputs AND cotangents must be nd=1 and
+    match the scan oracle — the kernels were once 2-dir-hardcoded and
+    silently fabricated a phantom direction from block padding."""
+    rng = np.random.RandomState(11)
+    t, b, h = 6, 3, 8
+    xg = jnp.asarray(rng.randn(t, 1, b, 4 * h).astype(np.float32)) * 0.5
+    w_h = jnp.asarray(rng.randn(1, h, 4 * h).astype(np.float32)) * 0.3
+    b_h = jnp.asarray(rng.randn(1, 4 * h).astype(np.float32)) * 0.1
+    mask = jnp.asarray(
+        (np.arange(t)[:, None, None] <
+         np.array([t, t - 2, 3])[None, None, :]).astype(np.float32)
+    )  # (T, 1, B)
+    ys = bilstm_pallas(xg, w_h, b_h, mask, 2)
+    assert ys.shape == (t, 1, b, h)
+    ys_r = bilstm_reference(xg, w_h, b_h, mask)
+    np.testing.assert_allclose(np.asarray(ys), np.asarray(ys_r),
+                               rtol=2e-5, atol=2e-5)
+    dy = jnp.asarray(rng.randn(t, 1, b, h).astype(np.float32))
+    gk = jax.grad(lambda *a: jnp.sum(bilstm_pallas(*a, mask, 2) * dy),
+                  argnums=(0, 1, 2))(xg, w_h, b_h)
+    gr = jax.grad(lambda *a: jnp.sum(bilstm_reference(*a, mask) * dy),
+                  argnums=(0, 1, 2))(xg, w_h, b_h)
+    for a, b_, name in zip(gk, gr, ["dxg", "dw_h", "db_h"]):
+        assert a.shape == b_.shape, (name, a.shape, b_.shape)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=3e-4, atol=3e-4, err_msg=name)

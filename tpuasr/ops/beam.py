@@ -38,32 +38,21 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-NEG = -1e30
+# Shared with the XLA implementation: the kernel's exact-parity
+# contract (tests compare scores to 1e-5) requires identical hash
+# constants, the same NEG floor, and the same clamped logsumexp —
+# import rather than duplicate so they cannot drift. (decode.beam
+# imports THIS module only lazily inside functions; no cycle.)
+from tpuasr.decode.beam import NEG, _M1, _M2, _lse, _mix32  # noqa: E402
+
 DEFAULT_TIME_CHUNK = 8
 VMEM_LIMIT = 100 * 1024 * 1024
 
 # Test hook: run the kernel in the Pallas interpreter (CPU).
 INTERPRET = False
-
-_M1 = np.uint32(0x9E3779B1)
-_M2 = np.uint32(0x85EBCA77)
-
-
-def _mix32(h, x, mult):
-    h = (h ^ x) * mult
-    return h ^ (h >> 15)
-
-
-def _lse(a, b):
-    m = jnp.maximum(a, b)
-    m_safe = jnp.maximum(m, NEG)
-    return jnp.maximum(
-        m_safe + jnp.log1p(jnp.exp(jnp.minimum(a, b) - m_safe)), NEG
-    )
 
 
 def _beam_kernel(lp_ref, len_ref, parents_ref, chars_ref, scores_ref,

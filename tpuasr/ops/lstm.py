@@ -61,6 +61,8 @@ def _lstm_gates(xg, hg):
 
 def _fwd_kernel(xg_ref, wh_ref, bh_ref, m_ref, out_ref, cseq_ref,
                 h_ref, c_ref, *, time_chunk):
+    n_dir = wh_ref.shape[0]  # 2 bidirectional, 1 unidirectional
+
     @pl.when(pl.program_id(0) == 0)
     def _init():
         h_ref[:] = jnp.zeros_like(h_ref)
@@ -69,9 +71,10 @@ def _fwd_kernel(xg_ref, wh_ref, bh_ref, m_ref, out_ref, cseq_ref,
     def body(t, _):
         h = h_ref[:].astype(jnp.float32)  # (2, B, H)
         c = c_ref[:].astype(jnp.float32)
-        hg0 = jnp.dot(h_ref[0], wh_ref[0], preferred_element_type=jnp.float32)
-        hg1 = jnp.dot(h_ref[1], wh_ref[1], preferred_element_type=jnp.float32)
-        hg = jnp.stack([hg0, hg1]) + bh_ref[:].astype(jnp.float32)[:, None, :]
+        hg = jnp.stack([
+            jnp.dot(h_ref[d], wh_ref[d], preferred_element_type=jnp.float32)
+            for d in range(n_dir)
+        ]) + bh_ref[:].astype(jnp.float32)[:, None, :]
         xg = xg_ref[t].astype(jnp.float32)  # (2, B, 4H)
         i, f, g, o = _lstm_gates(xg, hg)
         c_new = f * c + i * g
@@ -93,6 +96,8 @@ def _bwd_kernel(xg_ref, wh_ref, bh_ref, m_ref, hprev_ref, cprev_ref,
     """Reverse-time chunk (descending chunk order; see gru.py).
     Emits dhg[t] = gradient wrt gate pre-activations (== dxg[t])."""
 
+    n_dir = wh_ref.shape[0]
+
     @pl.when(pl.program_id(0) == 0)
     def _init():
         dh_ref[:] = jnp.zeros_like(dh_ref)
@@ -102,11 +107,11 @@ def _bwd_kernel(xg_ref, wh_ref, bh_ref, m_ref, hprev_ref, cprev_ref,
         t = time_chunk - 1 - idx
         h_prev = hprev_ref[t].astype(jnp.float32)
         c_prev = cprev_ref[t].astype(jnp.float32)
-        hg0 = jnp.dot(hprev_ref[t, 0], wh_ref[0],
-                      preferred_element_type=jnp.float32)
-        hg1 = jnp.dot(hprev_ref[t, 1], wh_ref[1],
-                      preferred_element_type=jnp.float32)
-        hg = jnp.stack([hg0, hg1]) + bh_ref[:].astype(jnp.float32)[:, None, :]
+        hg = jnp.stack([
+            jnp.dot(hprev_ref[t, d], wh_ref[d],
+                    preferred_element_type=jnp.float32)
+            for d in range(n_dir)
+        ]) + bh_ref[:].astype(jnp.float32)[:, None, :]
         xg = xg_ref[t].astype(jnp.float32)
         i, f, g, o = _lstm_gates(xg, hg)
         tc_t = jnp.tanh(cseq_ref[t].astype(jnp.float32))
@@ -130,11 +135,11 @@ def _bwd_kernel(xg_ref, wh_ref, bh_ref, m_ref, hprev_ref, cprev_ref,
         dhg = dhg * m
 
         dims = (((1,), (1,)), ((), ()))
-        dstep0 = jax.lax.dot_general(dhg[0], wh_ref[0], dims,
-                                     preferred_element_type=jnp.float32)
-        dstep1 = jax.lax.dot_general(dhg[1], wh_ref[1], dims,
-                                     preferred_element_type=jnp.float32)
-        dh_prev = jnp.stack([dstep0, dstep1])
+        dh_prev = jnp.stack([
+            jax.lax.dot_general(dhg[d], wh_ref[d], dims,
+                                preferred_element_type=jnp.float32)
+            for d in range(n_dir)
+        ])
         # masked frames pass h and c straight through: gradients flow
         # to t-1 unchanged there
         dh_ref[:] = (m * dh_prev + (1.0 - m) * dh).astype(dh_ref.dtype)
@@ -162,7 +167,7 @@ def bilstm_pallas(xg, w_h, b_h, mask, time_chunk=None):
 
 
 def _bilstm_fwd(xg, w_h, b_h, mask, time_chunk):
-    t_orig, _, b, g4 = xg.shape
+    t_orig, nd, b, g4 = xg.shape
     h = w_h.shape[1]
     if time_chunk is None:
         time_chunk = _auto_time_chunk(b, h)
@@ -175,30 +180,30 @@ def _bilstm_fwd(xg, w_h, b_h, mask, time_chunk):
         functools.partial(_fwd_kernel, time_chunk=time_chunk),
         grid=(n_chunks,),
         in_specs=[
-            pl.BlockSpec((time_chunk, 2, b, g4), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((time_chunk, nd, b, g4), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, h, g4), lambda i: (0, 0, 0),
+            pl.BlockSpec((nd, h, g4), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, g4), lambda i: (0, 0),
+            pl.BlockSpec((nd, g4), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((time_chunk, 2, b), lambda i: (i, 0, 0),
+            pl.BlockSpec((time_chunk, nd, b), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((time_chunk, 2, b, h), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((time_chunk, nd, b, h), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((time_chunk, 2, b, h), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((time_chunk, nd, b, h), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((t_pad, 2, b, h), xg.dtype),
+            jax.ShapeDtypeStruct((t_pad, nd, b, h), xg.dtype),
             # cell sequence in compute dtype (the in-kernel carry stays
             # f32; this is only the backward's recompute input)
-            jax.ShapeDtypeStruct((t_pad, 2, b, h), xg.dtype),
+            jax.ShapeDtypeStruct((t_pad, nd, b, h), xg.dtype),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, b, h), xg.dtype),
-            pltpu.VMEM((2, b, h), jnp.float32),
+            pltpu.VMEM((nd, b, h), xg.dtype),
+            pltpu.VMEM((nd, b, h), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         interpret=INTERPRET,
@@ -210,7 +215,7 @@ def _bilstm_fwd(xg, w_h, b_h, mask, time_chunk):
 
 def _bilstm_bwd(time_chunk, res, dy):
     xg, w_h, b_h, mask, ys, cs = res
-    t_orig, _, b, g4 = xg.shape
+    t_orig, nd, b, g4 = xg.shape
     h = w_h.shape[1]
     if time_chunk is None:
         time_chunk = _auto_time_chunk(b, h)
@@ -232,30 +237,30 @@ def _bilstm_bwd(time_chunk, res, dy):
         functools.partial(_bwd_kernel, time_chunk=time_chunk),
         grid=(n_chunks,),
         in_specs=[
-            pl.BlockSpec((time_chunk, 2, b, g4), rev4,
+            pl.BlockSpec((time_chunk, nd, b, g4), rev4,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, h, g4), lambda i: (0, 0, 0),
+            pl.BlockSpec((nd, h, g4), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, g4), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((time_chunk, 2, b), rev3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((time_chunk, 2, b, h), rev4,
+            pl.BlockSpec((nd, g4), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((time_chunk, nd, b), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((time_chunk, nd, b, h), rev4,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((time_chunk, 2, b, h), rev4,
+            pl.BlockSpec((time_chunk, nd, b, h), rev4,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((time_chunk, 2, b, h), rev4,
+            pl.BlockSpec((time_chunk, nd, b, h), rev4,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((time_chunk, 2, b, h), rev4,
+            pl.BlockSpec((time_chunk, nd, b, h), rev4,
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((time_chunk, 2, b, g4), rev4,
+        out_specs=pl.BlockSpec((time_chunk, nd, b, g4), rev4,
                                memory_space=pltpu.VMEM),
         # dhg streams out in the compute dtype (bf16 in training) like
         # the GRU kernel — an f32 window here doubles the dominant
         # VMEM allocation and OOMs at B=128
-        out_shape=jax.ShapeDtypeStruct((t_pad, 2, b, g4), xg.dtype),
+        out_shape=jax.ShapeDtypeStruct((t_pad, nd, b, g4), xg.dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, b, h), jnp.float32),
-            pltpu.VMEM((2, b, h), jnp.float32),
+            pltpu.VMEM((nd, b, h), jnp.float32),
+            pltpu.VMEM((nd, b, h), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         interpret=INTERPRET,
@@ -297,7 +302,7 @@ def bilstm_reference(xg, w_h, b_h, mask):
         return (h_new.astype(dt), c_new.astype(jnp.float32)), h_new.astype(dt)
 
     b, h = xg.shape[2], w_h.shape[1]
-    h0 = jnp.zeros((2, b, h), dt)
-    c0 = jnp.zeros((2, b, h), jnp.float32)
+    h0 = jnp.zeros((xg.shape[1], b, h), dt)
+    c0 = jnp.zeros((xg.shape[1], b, h), jnp.float32)
     (_, _), ys = jax.lax.scan(step, (h0, c0), (xg, mask))
     return ys
