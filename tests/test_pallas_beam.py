@@ -96,3 +96,54 @@ def test_kernel_time_padding_invariance():
 def test_impl_flag_validation():
     with pytest.raises(ValueError):
         DeviceBeamDecoder(ABC, impl="bogus")
+
+
+def test_kernel_char_lm_matches_xla():
+    """In-kernel dense-table char-LM fusion == XLA hashed-probe fusion
+    (same scores by construction: the dense table is materialized
+    through the same backoff recursion)."""
+    from tpuasr.decode.lm import train_ngram
+
+    # char-level LM: single-char tokens (the pack skips multi-char)
+    lines = [" ".join(list(s)) for s in
+             ["ABACAB", "CABBA", "BACBACABA", "ABCABA"]] * 4
+    lm = train_ngram(lines, order=3)
+    rng = np.random.RandomState(17)
+    b, t, c = 3, 10, 5
+    logits = jnp.asarray(rng.randn(b, t, c).astype(np.float32) * 2)
+    lengths = jnp.asarray(np.array([10, 7, 4], np.int32))
+    pal = DeviceBeamDecoder(ABC, beam_width=6, char_lm=lm, alpha=0.7,
+                            beta=0.5, impl="pallas")
+    xla = DeviceBeamDecoder(ABC, beam_width=6, char_lm=lm, alpha=0.7,
+                            beta=0.5, impl="xla")
+    got_p = pal.decode_nbest(logits, lengths)
+    got_x = xla.decode_nbest(logits, lengths)
+    for i in range(b):
+        assert [r[0] for r in got_p[i]] == [r[0] for r in got_x[i]], (
+            i, got_p[i], got_x[i])
+        for rp, rx in zip(got_p[i], got_x[i]):
+            np.testing.assert_allclose(rp[1], rx[1], rtol=1e-5, atol=1e-5)
+
+
+def test_kernel_char_lm_order2():
+    from tpuasr.decode.lm import train_ngram
+
+    lm = train_ngram([" ".join(list(s)) for s in ["ABACAB", "BACABA"]] * 3,
+                     order=2)
+    rng = np.random.RandomState(18)
+    logits = jnp.asarray(rng.randn(2, 8, 5).astype(np.float32) * 2)
+    lengths = jnp.asarray(np.array([8, 5], np.int32))
+    pal = DeviceBeamDecoder(ABC, beam_width=5, char_lm=lm, alpha=0.4,
+                            impl="pallas")
+    xla = DeviceBeamDecoder(ABC, beam_width=5, char_lm=lm, alpha=0.4,
+                            impl="xla")
+    assert pal.decode(logits, lengths) == xla.decode(logits, lengths)
+
+
+def test_char_lm_order4_falls_back_to_xla():
+    from tpuasr.decode.lm import train_ngram
+
+    lm = train_ngram([" ".join(list("ABACABBACABA"))] * 4, order=4)
+    dec = DeviceBeamDecoder(ABC, beam_width=4, char_lm=lm, alpha=0.5,
+                            impl="auto")
+    assert not dec._use_pallas()  # ctx space too big for a dense table

@@ -236,6 +236,31 @@ def _char_lm_scores(lm_tables: HashedTables, ctx, c_num):
     return jnp.where(resolved, score, OOV_LOGP)
 
 
+def dense_char_lm_table(lm_tables: HashedTables, n_class: int):
+    """Materialize the char-LM scores for EVERY possible context as a
+    dense (R, C) table, R = 1 << (6 * ctx_len): the fused Pallas beam
+    kernel (ops/beam.py) cannot probe hash tables (no gathers in
+    Mosaic) but can one-hot-matmul a dense table. Built by running the
+    SAME `_char_lm_scores` backoff recursion the XLA path uses over
+    all bit-packed contexts, so kernel and XLA scores are identical by
+    construction. Only orders <= 3 are dense-able (ctx_len <= 2,
+    R <= 4096); callers gate on that."""
+    from tpuasr.ops.beam import CTX_SHIFT
+
+    k_ctx = max(1, lm_tables.order - 1)
+    if k_ctx > 2:
+        raise ValueError("dense char-LM tables support order <= 3")
+    if n_class > (1 << CTX_SHIFT):
+        raise ValueError(f"n_class {n_class} exceeds {1 << CTX_SHIFT}")
+    r_num = 1 << (CTX_SHIFT * k_ctx)
+    r = np.arange(r_num, dtype=np.int32)
+    cols = [(r >> (CTX_SHIFT * (k_ctx - 1 - i))) & ((1 << CTX_SHIFT) - 1)
+            for i in range(k_ctx)]  # oldest first, newest last
+    ctx = jnp.asarray(np.stack(cols, axis=1))  # (R, k_ctx)
+    table = _char_lm_scores(lm_tables, ctx, n_class)  # (R, C)
+    return np.asarray(table), k_ctx
+
+
 def _word_lm_score(wt: HashedTables, bos_unused, wc1, wc2, wh1, wh2):
     """(W,) natural-log P(word | word context) with Katz backoff over
     hashed word tables, mirroring the host ArpaLM.score_word:
@@ -561,10 +586,11 @@ class DeviceBeamDecoder:
             raise ValueError("pass char_lm or word_lm, not both")
         if impl not in ("auto", "pallas", "xla"):
             raise ValueError(f"impl must be auto|pallas|xla, got {impl!r}")
-        if impl == "pallas" and (char_lm is not None or word_lm is not None):
+        if impl == "pallas" and word_lm is not None:
             raise ValueError(
-                "the fused Pallas beam kernel has no LM fusion; use "
-                "impl='xla' (or 'auto') for LM-fused decodes"
+                "the fused Pallas beam kernel fuses char-level LMs "
+                "(order <= 3) only; word-LM decodes use impl='xla' "
+                "(or 'auto')"
             )
         self.impl = impl
         self.alphabet = alphabet
@@ -586,12 +612,21 @@ class DeviceBeamDecoder:
             prune_logp=prune_logp,
         )
         self._cache = {}
+        self._dense_char_table = None
 
     def _use_pallas(self) -> bool:
         if self.impl == "xla":
             return False
-        if self._lm_tables is not None or self._word_tables is not None:
-            return False  # LM fusion lives on the XLA path only
+        if self._word_tables is not None:
+            return False  # word-LM fusion lives on the XLA path only
+        if self._lm_tables is not None:
+            # char-LM fuses in-kernel via a dense table when the
+            # context space is small enough (order <= 3, ids < 64)
+            from tpuasr.ops.beam import CTX_SHIFT
+
+            if (self._lm_tables.order > 3
+                    or self.alphabet.size > (1 << CTX_SHIFT)):
+                return False
         if self.impl == "pallas":
             return True
         from tpuasr.ops import beam as _ops_beam
@@ -616,6 +651,20 @@ class DeviceBeamDecoder:
 
                 from tpuasr.ops.beam import beam_scan_pallas
 
+                lm_kw = {}
+                # alpha == 0 disables char fusion entirely in the XLA
+                # path (including the beta space bonus) — mirror that
+                if self._lm_tables is not None and self.cfg.alpha != 0.0:
+                    if self._dense_char_table is None:
+                        self._dense_char_table = dense_char_lm_table(
+                            self._lm_tables, n_class
+                        )
+                    table, k_ctx = self._dense_char_table
+                    lm_kw = dict(
+                        char_table=jnp.asarray(table), ctx_len=k_ctx,
+                        alpha=self.cfg.alpha, beta=self.cfg.beta,
+                        space_id=self.cfg.space_id,
+                    )
                 kernel = partial(
                     beam_scan_pallas,
                     beam_width=self.cfg.beam_width,
@@ -623,6 +672,7 @@ class DeviceBeamDecoder:
                     cutoff_top_n=self.cfg.cutoff_top_n,
                     cutoff_prob=self.cfg.cutoff_prob,
                     prune_logp=self.cfg.prune_logp,
+                    **lm_kw,
                 )
                 if _packable(self.cfg.beam_width, n_class):
                     def packed(lp, lens, _k=kernel):

@@ -55,10 +55,30 @@ VMEM_LIMIT = 100 * 1024 * 1024
 INTERPRET = False
 
 
-def _beam_kernel(lp_ref, len_ref, parents_ref, chars_ref, scores_ref,
-                 pb_ref, pnb_ref, h1_ref, h2_ref, last_ref, *,
-                 time_chunk, beam_width, blank_id, cutoff_top_n,
-                 cutoff_prob, prune_logp):
+# Char-LM contexts are bit-packed 6 bits per char (class ids < 64):
+# the rolling-context update is then a pure shift/or/and — Mosaic has
+# no integer mod-by-non-power-of-two, which a base-C encoding needs.
+CTX_SHIFT = 6
+
+
+def _beam_kernel(lp_ref, len_ref, *rest, time_chunk, beam_width,
+                 blank_id, cutoff_top_n, cutoff_prob, prune_logp,
+                 char_lm=False, alpha=0.0, beta=0.0, space_id=None,
+                 ctx_len=0):
+    if char_lm:
+        (lmtab_ref, parents_ref, chars_ref, scores_ref,
+         pb_ref, pnb_ref, h1_ref, h2_ref, last_ref,
+         ctx_ref, lm_ref) = rest
+        ctx_mask = (1 << (CTX_SHIFT * ctx_len)) - 1
+        # the table arrives as stacked bf16 (hi; lo) halves: a plain
+        # f32 table loses ~8 mantissa bits through the MXU (bf16
+        # truncation flips near-tie beams — measured score drift up to
+        # 7.7 vs the XLA path); looking up hi and lo in ONE dot via a
+        # two-hot row vector recovers f32-accurate scores
+        r_num = lmtab_ref.shape[0] // 2
+    else:
+        (parents_ref, chars_ref, scores_ref,
+         pb_ref, pnb_ref, h1_ref, h2_ref, last_ref) = rest
     w = beam_width
     b, c_num = lp_ref.shape[1], lp_ref.shape[2]
     pool = w + w * c_num
@@ -75,6 +95,9 @@ def _beam_kernel(lp_ref, len_ref, parents_ref, chars_ref, scores_ref,
         h1_ref[:] = h0
         h2_ref[:] = h0
         last_ref[:] = jnp.full((b, w), -1, jnp.int32)
+        if char_lm:
+            ctx_ref[:] = jnp.zeros((b, w), jnp.int32)
+            lm_ref[:] = jnp.zeros((b, w), jnp.float32)
 
     iota_c = jax.lax.broadcasted_iota(jnp.int32, (b, c_num), 1)
     iota_w = jax.lax.broadcasted_iota(jnp.int32, (b, w), 1)
@@ -83,12 +106,17 @@ def _beam_kernel(lp_ref, len_ref, parents_ref, chars_ref, scores_ref,
     # top-level jaxpr (both for Mosaic and the interpreter)
     t_base = pl.program_id(0) * time_chunk
 
+    if char_lm:
+        iota_2r = jax.lax.broadcasted_iota(jnp.int32, (b, 2 * r_num), 1)
+
     def body(i, _):
         t = t_base + i
         lp = lp_ref[i].astype(jnp.float32)  # (B, C)
         pb, pnb = pb_ref[:], pnb_ref[:]
         h1, h2 = h1_ref[:], h2_ref[:]
         last = last_ref[:]
+        if char_lm:
+            ctx, lm = ctx_ref[:], lm_ref[:]
 
         # ---- ctcdecode candidate pruning, rank form ----
         # rank_c = #chars with strictly better (lp, idx); ties -> lower
@@ -133,6 +161,7 @@ def _beam_kernel(lp_ref, len_ref, parents_ref, chars_ref, scores_ref,
         ext_mask = (iota_c == blank_id) | ~keep  # (B, C)
         cu = iota_c.astype(jnp.uint32)  # (B, C)
         ext_chunks, eh1_chunks, eh2_chunks = [], [], []
+        lm_chunks, ctx_chunks = [], []
         for j in range(w):
             base_j = jnp.where(
                 last[:, j:j + 1] == iota_c, pb[:, j:j + 1],
@@ -141,6 +170,24 @@ def _beam_kernel(lp_ref, len_ref, parents_ref, chars_ref, scores_ref,
             ext_chunks.append(jnp.where(ext_mask, NEG, base_j + lp))
             eh1_chunks.append(_mix32(h1[:, j:j + 1], cu, jnp.uint32(_M1)))
             eh2_chunks.append(_mix32(h2[:, j:j + 1], cu, jnp.uint32(_M2)))
+            if char_lm:
+                # dense LM lookup: TWO-hot over the stacked (hi; lo)
+                # table -> one (B, 2R) @ (2R, C) MXU dot per beam
+                # sums both halves = f32-accurate score, no gathers
+                cj = ctx[:, j:j + 1]
+                oh_j = ((cj == iota_2r) | (cj + r_num == iota_2r)
+                        ).astype(jnp.bfloat16)
+                sc_j = jnp.dot(oh_j, lmtab_ref[:],
+                               preferred_element_type=jnp.float32)
+                lm_add = alpha * sc_j
+                if space_id is not None and beta != 0.0:
+                    lm_add = lm_add + jnp.where(
+                        iota_c == space_id, beta, 0.0
+                    )
+                lm_chunks.append(lm[:, j:j + 1] + lm_add)
+                ctx_chunks.append(
+                    ((ctx[:, j:j + 1] << CTX_SHIFT) | iota_c) & ctx_mask
+                )
         ext2 = jnp.concatenate(ext_chunks, axis=1)  # (B, E)
         eh1_2 = jnp.concatenate(eh1_chunks, axis=1)
         eh2_2 = jnp.concatenate(eh2_chunks, axis=1)
@@ -192,6 +239,13 @@ def _beam_kernel(lp_ref, len_ref, parents_ref, chars_ref, scores_ref,
         cand_parent = jnp.concatenate([stay_parent, ext_parent], axis=1)
         cand_new = jnp.concatenate([stay_newchar, ext_last], axis=1)
         score = _lse(cand_pb, cand_pnb)  # (B, P)
+        if char_lm:
+            # stays keep their prefix's accumulated LM score/context
+            # (a representative-swapped stay is the same prefix, so the
+            # LM state is identical either way — as in the XLA path)
+            cand_lm = jnp.concatenate([lm] + lm_chunks, axis=1)
+            cand_ctx = jnp.concatenate([ctx] + ctx_chunks, axis=1)
+            score = score + cand_lm
 
         # ---- top-W selection: W unrolled (max, first index, select,
         # mask) rounds — lax.top_k tie-breaking (lowest index wins).
@@ -209,6 +263,11 @@ def _beam_kernel(lp_ref, len_ref, parents_ref, chars_ref, scores_ref,
         arrs = dict(pb=cand_pb, pnb=cand_pnb, h1=as_i32(cand_h1),
                     h2=as_i32(cand_h2), last=cand_last,
                     parent=cand_parent, new=cand_new)
+        if char_lm:
+            arrs["lm"] = cand_lm
+            arrs["ctx"] = cand_ctx
+            cols["lm"] = []
+            cols["ctx"] = []
         for _k in range(w):
             m = jnp.max(score, axis=1, keepdims=True)  # (B, 1)
             idx = jnp.min(
@@ -235,22 +294,33 @@ def _beam_kernel(lp_ref, len_ref, parents_ref, chars_ref, scores_ref,
         h1_ref[:] = jnp.where(alive, as_u32(sel["h1"]), h1)
         h2_ref[:] = jnp.where(alive, as_u32(sel["h2"]), h2)
         last_ref[:] = jnp.where(alive, sel["last"], last)
+        if char_lm:
+            lm_ref[:] = jnp.where(alive, sel["lm"], lm)
+            ctx_ref[:] = jnp.where(alive, sel["ctx"], ctx)
         parents_ref[i] = jnp.where(alive, sel["parent"], iota_w)
         chars_ref[i] = jnp.where(alive, sel["new"], -1)
         return 0
 
     jax.lax.fori_loop(0, time_chunk, body, 0, unroll=True)
     scores_ref[:] = _lse(pb_ref[:], pnb_ref[:])
+    if char_lm:
+        scores_ref[:] = scores_ref[:] + lm_ref[:]
 
 
 def beam_scan_pallas(logprobs, lengths, *, beam_width, blank_id,
                      cutoff_top_n=40, cutoff_prob=1.0,
-                     prune_logp=-20.0, time_chunk=DEFAULT_TIME_CHUNK):
-    """Fused no-LM prefix beam search.
+                     prune_logp=-20.0, time_chunk=DEFAULT_TIME_CHUNK,
+                     char_table=None, ctx_len=0, alpha=0.0, beta=0.0,
+                     space_id=None):
+    """Fused prefix beam search (no-LM, or char-LM via dense table).
 
     Args:
       logprobs: (B, T, C) float log-probabilities.
       lengths: (B,) int32 valid frame counts.
+      char_table: optional (R, C) f32 dense char-LM scores, R = 1 <<
+        (6 * ctx_len), indexed by the 6-bit-packed last-ctx_len-char
+        context (decode.beam.dense_char_lm_table builds it with the
+        EXACT backoff scores of the hashed XLA path).
     Returns:
       parents (B, T, W) int32, chars (B, T, W) int32 (-1 = stay),
       scores (B, W) float32 UNSORTED — same contract as the XLA
@@ -264,21 +334,52 @@ def beam_scan_pallas(logprobs, lengths, *, beam_width, blank_id,
     if t_pad != t:
         lp = jnp.pad(lp, ((0, t_pad - t), (0, 0), (0, 0)))
     n_chunks = t_pad // time_chunk
+    char_lm = char_table is not None
+    if char_lm and c_num > (1 << CTX_SHIFT):
+        raise ValueError(
+            f"in-kernel char-LM packs class ids in {CTX_SHIFT} bits; "
+            f"n_class={c_num} exceeds {1 << CTX_SHIFT}"
+        )
 
     kern = functools.partial(
         _beam_kernel, time_chunk=time_chunk, beam_width=w,
         blank_id=blank_id, cutoff_top_n=cutoff_top_n,
         cutoff_prob=cutoff_prob, prune_logp=prune_logp,
+        char_lm=char_lm, alpha=alpha, beta=beta, space_id=space_id,
+        ctx_len=ctx_len,
     )
+    in_specs = [
+        pl.BlockSpec((time_chunk, b, c_num), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((b, 1), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    inputs = [lp, lengths.astype(jnp.int32).reshape(b, 1)]
+    scratch = [
+        pltpu.VMEM((b, w), jnp.float32),  # pb
+        pltpu.VMEM((b, w), jnp.float32),  # pnb
+        pltpu.VMEM((b, w), jnp.uint32),   # h1
+        pltpu.VMEM((b, w), jnp.uint32),   # h2
+        pltpu.VMEM((b, w), jnp.int32),    # last
+    ]
+    if char_lm:
+        # stacked bf16 (hi; lo) halves — see the kernel comment
+        tab32 = char_table.astype(jnp.float32)
+        hi = tab32.astype(jnp.bfloat16)
+        lo = (tab32 - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        stacked = jnp.concatenate([hi, lo], axis=0)
+        in_specs.append(
+            pl.BlockSpec(stacked.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM))
+        inputs.append(stacked)
+        scratch += [
+            pltpu.VMEM((b, w), jnp.int32),    # ctx
+            pltpu.VMEM((b, w), jnp.float32),  # lm
+        ]
     parents, chars, scores = pl.pallas_call(
         kern,
         grid=(n_chunks,),
-        in_specs=[
-            pl.BlockSpec((time_chunk, b, c_num), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, 1), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((time_chunk, b, w), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -292,16 +393,10 @@ def beam_scan_pallas(logprobs, lengths, *, beam_width, blank_id,
             jax.ShapeDtypeStruct((t_pad, b, w), jnp.int32),
             jax.ShapeDtypeStruct((b, w), jnp.float32),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((b, w), jnp.float32),  # pb
-            pltpu.VMEM((b, w), jnp.float32),  # pnb
-            pltpu.VMEM((b, w), jnp.uint32),   # h1
-            pltpu.VMEM((b, w), jnp.uint32),   # h2
-            pltpu.VMEM((b, w), jnp.int32),    # last
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         interpret=INTERPRET,
-    )(lp, lengths.astype(jnp.int32).reshape(b, 1))
+    )(*inputs)
 
     parents = jnp.transpose(parents[:t], (1, 0, 2))
     chars = jnp.transpose(chars[:t], (1, 0, 2))
