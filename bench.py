@@ -83,8 +83,10 @@ def main(mode: str = "train") -> None:
             if "--cutoff-top-n" in argv else 40
         beam_impl = (argv[argv.index("--beam-impl") + 1]
                      if "--beam-impl" in argv else "auto")
+        lm_mode = ("word" if "lm" in mode
+                   else "char" if "char" in mode else "none")
         _bench_beam(model_cfg, frontend_cfg, state, cutoff_top_n=cut,
-                    with_lm="lm" in mode, impl=beam_impl)
+                    lm_mode=lm_mode, impl=beam_impl)
         return
     train_step = make_train_step(model_cfg, frontend_cfg, train_cfg)
 
@@ -155,9 +157,10 @@ def main(mode: str = "train") -> None:
 
 
 def _bench_beam(model_cfg, frontend_cfg, state, cutoff_top_n: int = 40,
-                with_lm: bool = False, impl: str = "auto") -> None:
+                lm_mode: str = "none", impl: str = "auto") -> None:
     """Config-4 benchmark: on-device beam search (W=10), optionally
-    with word n-gram shallow fusion, over the eval forward's logits."""
+    with word- (XLA fusion) or char- (in-kernel dense-table fusion)
+    n-gram shallow fusion, over the eval forward's logits."""
     import jax
     import jax.numpy as jnp
 
@@ -177,16 +180,22 @@ def _bench_beam(model_cfg, frontend_cfg, state, cutoff_top_n: int = 40,
     logits, ol = eval_step(variables, waves, wave_lengths)
     logits.block_until_ready()
 
-    word_lm = None
-    if with_lm:
-        words = ["ALO", "MUNDO", "BOM", "DIA", "TUDO", "BEM", "CASA", "SOM"]
+    word_lm = char_lm = None
+    words = ["ALO", "MUNDO", "BOM", "DIA", "TUDO", "BEM", "CASA", "SOM"]
+    if lm_mode == "word":
         lines = [" ".join(rng.choice(words, size=4)) for _ in range(200)]
         word_lm = train_ngram(lines, order=3)
+    elif lm_mode == "char":
+        lines = [" ".join(list(" ".join(rng.choice(words, size=4))))
+                 for _ in range(200)]
+        char_lm = train_ngram(lines, order=3)
+    with_lm = lm_mode != "none"
     dec = DeviceBeamDecoder(alphabet, beam_width=10, word_lm=word_lm,
+                            char_lm=char_lm,
                             alpha=0.8 if with_lm else 0.0,
                             beta=1.0 if with_lm else 0.0,
                             cutoff_top_n=cutoff_top_n,
-                            impl="xla" if with_lm else impl)
+                            impl="xla" if lm_mode == "word" else impl)
 
     for _ in range(WARMUP):
         store, toff, blen, scores = dec._run(logits, ol)
@@ -207,9 +216,8 @@ def _bench_beam(model_cfg, frontend_cfg, state, cutoff_top_n: int = 40,
             "batch": BATCH,
             "beam_width": 10,
             "cutoff_top_n": cutoff_top_n,
-            "word_lm": with_lm,
-            "impl": "xla" if with_lm else
-                    ("pallas" if dec._use_pallas() else "xla"),
+            "lm": lm_mode,
+            "impl": "pallas" if dec._use_pallas() else "xla",
         },
     }
     print(json.dumps(result))

@@ -196,3 +196,60 @@ def test_eval_cli_resident_beam_matches_streaming_beam(tmp_path, capsys):
         beam_ops.INTERPRET = False
     assert streaming.startswith("Test Summary")
     assert resident == streaming
+
+
+def test_eval_cli_resident_beam_char_lm_matches_streaming(tmp_path, capsys):
+    """Resident beam eval with in-kernel char-LM fusion == the
+    per-batch beam-device char-LM loop."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import tpuasr.ops.beam as beam_ops
+    from tpuasr.audio.frontend import FrontendConfig
+    from tpuasr.audio.io import save_audio
+    from tpuasr.cli.test import main as test_main
+    from tpuasr.data.manifest import create_manifest
+    from tpuasr.decode.lm import train_ngram
+    from tpuasr.labels import Alphabet
+    from tpuasr.model.ds2 import ModelConfig
+    from tpuasr.train.checkpoint import CheckpointPackage, save_checkpoint
+    from tpuasr.train.step import TrainConfig, init_train_state
+
+    rng = np.random.RandomState(2)
+    for i, text in enumerate(["ABA", "BOB"]):
+        save_audio(str(tmp_path / f"u{i}.wav"),
+                   (0.1 * rng.randn(5600)).astype(np.float32), 16000)
+        (tmp_path / f"u{i}.txt").write_text(text)
+    man = str(tmp_path / "man.csv")
+    create_manifest(str(tmp_path), man)
+    lm = train_ngram([" ".join(list(s)) for s in ["ABA", "BOB", "CACO"]],
+                     order=3)
+    arpa = str(tmp_path / "char.arpa")
+    lm.save(arpa)
+
+    mc = ModelConfig(n_classes=Alphabet().size, hidden_size=16,
+                     hidden_layers=1, compute_dtype=jnp.float32)
+    state = init_train_state(mc, TrainConfig(), jax.random.PRNGKey(0))
+    ckpt = str(tmp_path / "m.ckpt")
+    save_checkpoint(ckpt, CheckpointPackage(
+        model_config=mc, frontend_config=FrontendConfig(),
+        labels=Alphabet().labels,
+        variables={"params": jax.device_get(state.params),
+                   "batch_stats": jax.device_get(state.batch_stats)},
+    ))
+
+    common = ["--model-path", ckpt, "--test-manifest", man,
+              "--batch-size", "2", "--decoder", "beam-device",
+              "--beam-width", "4", "--lm-path", arpa,
+              "--device-lm-level", "char", "--alpha", "0.5"]
+    beam_ops.INTERPRET = True
+    try:
+        test_main(common)
+        streaming = capsys.readouterr().out.strip().splitlines()[-1]
+        test_main(common + ["--device-resident-audio"])
+        resident = capsys.readouterr().out.strip().splitlines()[-1]
+    finally:
+        beam_ops.INTERPRET = False
+    assert streaming.startswith("Test Summary")
+    assert resident == streaming

@@ -130,17 +130,28 @@ def main(argv=None) -> int:
                         emit_result(hyp, texts[row_rows[int(idx_mat[k, j])]])
 
     elif (args.device_resident_audio and args.decoder == "beam-device"
-          and not args.lm_path and decoder._use_pallas()):
-        # beam-search eval-in-a-scan (no-LM fused Pallas kernel +
-        # packed readout); LM-fused decodes use the per-batch loop
-        from tpuasr.decode.beam import _backtrack, unpack_decode_outputs
+          and decoder._use_pallas()):
+        # beam-search eval-in-a-scan (fused Pallas kernel + packed
+        # readout; char-LM fusion rides in-kernel via its dense table);
+        # word-LM decodes use the per-batch loop (_use_pallas is False)
+        import jax.numpy as jnp
+
+        from tpuasr.decode.beam import (_backtrack, dense_char_lm_table,
+                                        unpack_decode_outputs)
         from tpuasr.train.step import make_resident_beam_eval_runner
 
         w = args.beam_width
+        lm_kw = {}
+        if decoder._lm_tables is not None and args.alpha != 0.0:
+            table, k_ctx = dense_char_lm_table(decoder._lm_tables,
+                                               alphabet.size)
+            lm_kw = dict(char_table=jnp.asarray(table), ctx_len=k_ctx,
+                         alpha=args.alpha, beta=args.beta,
+                         space_id=alphabet.space_id)
         runner = make_resident_beam_eval_runner(
             model_cfg, pkg.frontend_config, beam_width=w,
             blank_id=alphabet.blank_id, cutoff_top_n=args.cutoff_top_n,
-            cutoff_prob=args.cutoff_prob,
+            cutoff_prob=args.cutoff_prob, **lm_kw,
         )
 
         def resident_epoch():

@@ -245,7 +245,8 @@ def make_resident_beam_eval_runner(model_cfg: ModelConfig,
                                    beam_width: int, blank_id: int,
                                    cutoff_top_n: int = 40,
                                    cutoff_prob: float = 1.0,
-                                   prune_logp: float = -20.0):
+                                   prune_logp: float = -20.0,
+                                   **lm_kw):
     """Beam-search eval-in-a-scan: ONE dispatch runs eval forward +
     the fused Pallas beam kernel (no-LM) for a whole bucket schedule,
     emitting the packed int16 backpointer readout per chunk — the
@@ -264,7 +265,8 @@ def make_resident_beam_eval_runner(model_cfg: ModelConfig,
     model = DeepSpeech2(model_cfg)
     kernel = partial(beam_scan_pallas, beam_width=beam_width,
                      blank_id=blank_id, cutoff_top_n=cutoff_top_n,
-                     cutoff_prob=cutoff_prob, prune_logp=prune_logp)
+                     cutoff_prob=cutoff_prob, prune_logp=prune_logp,
+                     **lm_kw)  # char_table/ctx_len/alpha/beta/space_id
 
     @jax.jit
     def run(variables, waves_bank, wl_bank, idx_mat):
