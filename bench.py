@@ -40,8 +40,14 @@ def main(mode: str = "train") -> None:
 
     # Persistent compile cache: the first TPU compile of the full train
     # step takes minutes via remote compile; cache it across runs.
+    # TPUASR_COMPILE_CACHE (already applied by the package import) wins
+    # so bench shares the cache with CLI/test runs.
+    import os
+
     try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/tpuasr_jax_cache")
+        if not os.environ.get("TPUASR_COMPILE_CACHE"):
+            jax.config.update("jax_compilation_cache_dir",
+                              "/tmp/tpuasr_jax_cache")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
