@@ -200,8 +200,7 @@ def _bench_beam(model_cfg, frontend_cfg, state, cutoff_top_n: int = 40,
                             char_lm=char_lm,
                             alpha=0.8 if with_lm else 0.0,
                             beta=1.0 if with_lm else 0.0,
-                            cutoff_top_n=cutoff_top_n,
-                            impl="xla" if lm_mode == "word" else impl)
+                            cutoff_top_n=cutoff_top_n, impl=impl)
 
     for _ in range(WARMUP):
         store, toff, blen, scores = dec._run(logits, ol)

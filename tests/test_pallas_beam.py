@@ -147,3 +147,44 @@ def test_char_lm_order4_falls_back_to_xla():
     dec = DeviceBeamDecoder(ABC, beam_width=4, char_lm=lm, alpha=0.5,
                             impl="auto")
     assert not dec._use_pallas()  # ctx space too big for a dense table
+
+
+def test_kernel_word_lm_matches_xla():
+    """In-kernel word-LM fusion (full-table-compare probes) == XLA
+    hashed-probe fusion: same n-best texts and scores, including BOS
+    context, OOV-as-<unk> substitution, backoff accumulation, and the
+    final partial-word close."""
+    from tpuasr.decode.lm import train_ngram
+
+    corpus = ["AB C AB", "C AB", "AB AB C", "C C AB", "AB", "CA AB C"]
+    lm = train_ngram(corpus, order=3)
+    rng = np.random.RandomState(21)
+    b, t, c = 3, 12, 5
+    logits = jnp.asarray(rng.randn(b, t, c).astype(np.float32) * 2)
+    lengths = jnp.asarray(np.array([12, 8, 5], np.int32))
+    pal = DeviceBeamDecoder(ABC, beam_width=6, word_lm=lm, alpha=1.2,
+                            beta=0.5, impl="pallas")
+    xla = DeviceBeamDecoder(ABC, beam_width=6, word_lm=lm, alpha=1.2,
+                            beta=0.5, impl="xla")
+    assert pal._use_pallas() and not xla._use_pallas()
+    got_p = pal.decode_nbest(logits, lengths)
+    got_x = xla.decode_nbest(logits, lengths)
+    for i in range(b):
+        assert [r[0] for r in got_p[i]] == [r[0] for r in got_x[i]], (
+            i, got_p[i], got_x[i])
+        for rp, rx in zip(got_p[i], got_x[i]):
+            np.testing.assert_allclose(rp[1], rx[1], rtol=1e-5, atol=1e-5)
+
+
+def test_kernel_word_lm_order2():
+    from tpuasr.decode.lm import train_ngram
+
+    lm = train_ngram(["AB C", "C AB AB"] * 2, order=2)
+    rng = np.random.RandomState(22)
+    logits = jnp.asarray(rng.randn(2, 9, 5).astype(np.float32) * 2)
+    lengths = jnp.asarray(np.array([9, 6], np.int32))
+    pal = DeviceBeamDecoder(ABC, beam_width=5, word_lm=lm, alpha=0.8,
+                            beta=0.3, impl="pallas")
+    xla = DeviceBeamDecoder(ABC, beam_width=5, word_lm=lm, alpha=0.8,
+                            beta=0.3, impl="xla")
+    assert pal.decode(logits, lengths) == xla.decode(logits, lengths)

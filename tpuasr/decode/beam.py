@@ -586,12 +586,6 @@ class DeviceBeamDecoder:
             raise ValueError("pass char_lm or word_lm, not both")
         if impl not in ("auto", "pallas", "xla"):
             raise ValueError(f"impl must be auto|pallas|xla, got {impl!r}")
-        if impl == "pallas" and word_lm is not None:
-            raise ValueError(
-                "the fused Pallas beam kernel fuses char-level LMs "
-                "(order <= 3) only; word-LM decodes use impl='xla' "
-                "(or 'auto')"
-            )
         self.impl = impl
         self.alphabet = alphabet
         self._lm_tables = (
@@ -614,11 +608,20 @@ class DeviceBeamDecoder:
         self._cache = {}
         self._dense_char_table = None
 
+    # in-kernel word-LM probing is a full-table compare per beam; caps
+    # beyond this make the per-frame VPU work dominate — bigger LMs
+    # decode on the XLA path (hash-probe gathers)
+    MAX_KERNEL_WORD_CAP = 8192
+
     def _use_pallas(self) -> bool:
         if self.impl == "xla":
             return False
         if self._word_tables is not None:
-            return False  # word-LM fusion lives on the XLA path only
+            wt = self._word_tables
+            if (wt.order > 3 or any(
+                    k.shape[0] > self.MAX_KERNEL_WORD_CAP
+                    for k in wt.keys1)):
+                return False  # big word LM: XLA fusion path
         if self._lm_tables is not None:
             # char-LM fuses in-kernel via a dense table when the
             # context space is small enough (order <= 3, ids < 64)
@@ -662,6 +665,13 @@ class DeviceBeamDecoder:
                     table, k_ctx = self._dense_char_table
                     lm_kw = dict(
                         char_table=jnp.asarray(table), ctx_len=k_ctx,
+                        alpha=self.cfg.alpha, beta=self.cfg.beta,
+                        space_id=self.cfg.space_id,
+                    )
+                elif (self._word_tables is not None
+                      and self.cfg.space_id is not None):
+                    lm_kw = dict(
+                        word_tables=self._word_tables,
                         alpha=self.cfg.alpha, beta=self.cfg.beta,
                         space_id=self.cfg.space_id,
                     )

@@ -46,7 +46,9 @@ from jax.experimental.pallas import tpu as pltpu
 # constants, the same NEG floor, and the same clamped logsumexp —
 # import rather than duplicate so they cannot drift. (decode.beam
 # imports THIS module only lazily inside functions; no cycle.)
-from tpuasr.decode.beam import NEG, _M1, _M2, _lse, _mix32  # noqa: E402
+from tpuasr.decode.beam import (  # noqa: E402
+    BOS_TOK, NEG, PAD_TOK, UNK_TOK, WORD_OOV_NAT, _M1, _M2, _lse, _mix32,
+)
 
 DEFAULT_TIME_CHUNK = 8
 VMEM_LIMIT = 100 * 1024 * 1024
@@ -63,12 +65,11 @@ CTX_SHIFT = 6
 
 def _beam_kernel(lp_ref, len_ref, *rest, time_chunk, beam_width,
                  blank_id, cutoff_top_n, cutoff_prob, prune_logp,
-                 char_lm=False, alpha=0.0, beta=0.0, space_id=None,
-                 ctx_len=0):
+                 char_lm=False, word_lm=False, w_order=0, ring_len=0,
+                 alpha=0.0, beta=0.0, space_id=None, ctx_len=0):
+    rest = list(rest)
     if char_lm:
-        (lmtab_ref, parents_ref, chars_ref, scores_ref,
-         pb_ref, pnb_ref, h1_ref, h2_ref, last_ref,
-         ctx_ref, lm_ref) = rest
+        lmtab_ref = rest.pop(0)
         ctx_mask = (1 << (CTX_SHIFT * ctx_len)) - 1
         # the table arrives as stacked bf16 (hi; lo) halves: a plain
         # f32 table loses ~8 mantissa bits through the MXU (bf16
@@ -76,12 +77,80 @@ def _beam_kernel(lp_ref, len_ref, *rest, time_chunk, beam_width,
         # 7.7 vs the XLA path); looking up hi and lo in ONE dot via a
         # two-hot row vector recovers f32-accurate scores
         r_num = lmtab_ref.shape[0] // 2
-    else:
-        (parents_ref, chars_ref, scores_ref,
-         pb_ref, pnb_ref, h1_ref, h2_ref, last_ref) = rest
+    if word_lm:
+        # per-order (1, cap) rows: keys1, keys2, logps, backoffs
+        wtabs = [tuple(rest.pop(0) for _ in range(4))
+                 for _ in range(w_order)]
+    (parents_ref, chars_ref, scores_ref,
+     pb_ref, pnb_ref, h1_ref, h2_ref, last_ref) = rest[:8]
+    rest = rest[8:]
+    if char_lm or word_lm:
+        lm_ref = rest.pop(0)
+    if char_lm:
+        ctx_ref = rest.pop(0)
+    if word_lm:
+        wh1_ref, wh2_ref, wlen_ref = rest.pop(0), rest.pop(0), rest.pop(0)
+        wc1_refs = [rest.pop(0) for _ in range(ring_len)]
+        wc2_refs = [rest.pop(0) for _ in range(ring_len)]
     w = beam_width
     b, c_num = lp_ref.shape[1], lp_ref.shape[2]
     pool = w + w * c_num
+
+    def _wprobe(k, q1, q2):
+        """Full-table probe of order-k word tables with (B, W) query
+        hash pairs: per-beam (B, cap) compares replace the XLA path's
+        serial gathers (Mosaic has none). Open addressing stores a key
+        once, so the masked sums extract the unique hit; empty (0,0)
+        slots are excluded (a (0,0) query only arises for the empty
+        partial word, whose score is never used)."""
+        k1r, k2r, lpr, bor = wtabs[k]
+        nonempty = (k1r[:] != 0) | (k2r[:] != 0)  # (1, cap)
+        f_cols, v_cols, b_cols = [], [], []
+        for j in range(w):
+            hit = ((k1r[:] == q1[:, j:j + 1])
+                   & (k2r[:] == q2[:, j:j + 1]) & nonempty)  # (B, cap)
+            # boolean any-reductions over sub-128-lane tiles hit an
+            # unsupported i1 vreg cast in Mosaic — count in f32 instead
+            hitf = jnp.where(hit, 1.0, 0.0)
+            f_cols.append(jnp.sum(hitf, axis=1, keepdims=True))
+            v_cols.append(jnp.sum(hitf * lpr[:], axis=1, keepdims=True))
+            b_cols.append(jnp.sum(hitf * bor[:], axis=1, keepdims=True))
+        found = jnp.concatenate(f_cols, axis=1) > 0.0  # (B, W)
+        val = jnp.where(found, jnp.concatenate(v_cols, axis=1), NEG)
+        bo = jnp.concatenate(b_cols, axis=1)
+        return found, val, bo
+
+    def _wfold(pairs):
+        H1 = jnp.zeros((b, w), jnp.uint32)
+        H2 = jnp.zeros((b, w), jnp.uint32)
+        for t1, t2 in pairs:
+            H1 = _mix32(H1, t1, jnp.uint32(_M1))
+            H2 = _mix32(H2, t2, jnp.uint32(_M2))
+        return H1, H2
+
+    def _wscore(wh1, wh2, wlen, wc1s, wc2s):
+        """(B, W) word-LM scores + effective token hashes — the
+        in-kernel mirror of decode.beam._word_lm_score."""
+        uf, _, _ = _wprobe(0, *_wfold([(wh1, wh2)]))
+        eff1 = jnp.where(uf, wh1, jnp.uint32(UNK_TOK[0]))
+        eff2 = jnp.where(uf, wh2, jnp.uint32(UNK_TOK[1]))
+        score = jnp.zeros((b, w), jnp.float32)
+        resolved = jnp.zeros((b, w), bool)
+        bo_acc = jnp.zeros((b, w), jnp.float32)
+        for m in range(min(w_order - 1, ring_len), -1, -1):
+            ctx_pairs = [(wc1s[ring_len - m + i], wc2s[ring_len - m + i])
+                         for i in range(m)]
+            kh1, kh2 = _wfold(ctx_pairs + [(eff1, eff2)])
+            f, v, _ = _wprobe(m, kh1, kh2)
+            score = jnp.where(f & ~resolved, bo_acc + v, score)
+            resolved = resolved | f
+            if m > 0:
+                bf, _, bbo = _wprobe(m - 1, *_wfold(ctx_pairs))
+                bo_acc = jnp.where(
+                    resolved, bo_acc, bo_acc + jnp.where(bf, bbo, 0.0)
+                )
+        score = jnp.where(resolved, score, bo_acc + WORD_OOV_NAT)
+        return score, eff1, eff2
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
@@ -95,9 +164,22 @@ def _beam_kernel(lp_ref, len_ref, *rest, time_chunk, beam_width,
         h1_ref[:] = h0
         h2_ref[:] = h0
         last_ref[:] = jnp.full((b, w), -1, jnp.int32)
+        if char_lm or word_lm:
+            lm_ref[:] = jnp.zeros((b, w), jnp.float32)
         if char_lm:
             ctx_ref[:] = jnp.zeros((b, w), jnp.int32)
-            lm_ref[:] = jnp.zeros((b, w), jnp.float32)
+        if word_lm:
+            wh1_ref[:] = jnp.zeros((b, w), jnp.uint32)
+            wh2_ref[:] = jnp.zeros((b, w), jnp.uint32)
+            wlen_ref[:] = jnp.zeros((b, w), jnp.int32)
+            for k in range(ring_len):
+                # host context starts at (<s>,): BOS is the newest slot
+                if k == ring_len - 1:
+                    wc1_refs[k][:] = jnp.full((b, w), BOS_TOK[0], jnp.uint32)
+                    wc2_refs[k][:] = jnp.full((b, w), BOS_TOK[1], jnp.uint32)
+                else:
+                    wc1_refs[k][:] = jnp.full((b, w), PAD_TOK[0], jnp.uint32)
+                    wc2_refs[k][:] = jnp.full((b, w), PAD_TOK[1], jnp.uint32)
 
     iota_c = jax.lax.broadcasted_iota(jnp.int32, (b, c_num), 1)
     iota_w = jax.lax.broadcasted_iota(jnp.int32, (b, w), 1)
@@ -115,8 +197,18 @@ def _beam_kernel(lp_ref, len_ref, *rest, time_chunk, beam_width,
         pb, pnb = pb_ref[:], pnb_ref[:]
         h1, h2 = h1_ref[:], h2_ref[:]
         last = last_ref[:]
+        if char_lm or word_lm:
+            lm = lm_ref[:]
         if char_lm:
-            ctx, lm = ctx_ref[:], lm_ref[:]
+            ctx = ctx_ref[:]
+        if word_lm:
+            wh1, wh2, wlen = wh1_ref[:], wh2_ref[:], wlen_ref[:]
+            wc1s = [r[:] for r in wc1_refs]
+            wc2s = [r[:] for r in wc2_refs]
+            wscore, weff1, weff2 = _wscore(wh1, wh2, wlen, wc1s, wc2s)
+            word_bonus = jnp.where(
+                wlen > 0, alpha * wscore + beta, 0.0
+            )  # (B, W)
 
         # ---- ctcdecode candidate pruning, rank form ----
         # rank_c = #chars with strictly better (lp, idx); ties -> lower
@@ -188,6 +280,12 @@ def _beam_kernel(lp_ref, len_ref, *rest, time_chunk, beam_width,
                 ctx_chunks.append(
                     ((ctx[:, j:j + 1] << CTX_SHIFT) | iota_c) & ctx_mask
                 )
+            if word_lm:
+                # word score lands on the space column only, for beams
+                # with a non-empty partial word (host semantics)
+                lm_chunks.append(lm[:, j:j + 1] + jnp.where(
+                    iota_c == space_id, word_bonus[:, j:j + 1], 0.0
+                ))
         ext2 = jnp.concatenate(ext_chunks, axis=1)  # (B, E)
         eh1_2 = jnp.concatenate(eh1_chunks, axis=1)
         eh2_2 = jnp.concatenate(eh2_chunks, axis=1)
@@ -239,13 +337,14 @@ def _beam_kernel(lp_ref, len_ref, *rest, time_chunk, beam_width,
         cand_parent = jnp.concatenate([stay_parent, ext_parent], axis=1)
         cand_new = jnp.concatenate([stay_newchar, ext_last], axis=1)
         score = _lse(cand_pb, cand_pnb)  # (B, P)
-        if char_lm:
+        if char_lm or word_lm:
             # stays keep their prefix's accumulated LM score/context
             # (a representative-swapped stay is the same prefix, so the
             # LM state is identical either way — as in the XLA path)
             cand_lm = jnp.concatenate([lm] + lm_chunks, axis=1)
-            cand_ctx = jnp.concatenate([ctx] + ctx_chunks, axis=1)
             score = score + cand_lm
+        if char_lm:
+            cand_ctx = jnp.concatenate([ctx] + ctx_chunks, axis=1)
 
         # ---- top-W selection: W unrolled (max, first index, select,
         # mask) rounds — lax.top_k tie-breaking (lowest index wins).
@@ -263,10 +362,11 @@ def _beam_kernel(lp_ref, len_ref, *rest, time_chunk, beam_width,
         arrs = dict(pb=cand_pb, pnb=cand_pnb, h1=as_i32(cand_h1),
                     h2=as_i32(cand_h2), last=cand_last,
                     parent=cand_parent, new=cand_new)
-        if char_lm:
+        if char_lm or word_lm:
             arrs["lm"] = cand_lm
-            arrs["ctx"] = cand_ctx
             cols["lm"] = []
+        if char_lm:
+            arrs["ctx"] = cand_ctx
             cols["ctx"] = []
         for _k in range(w):
             m = jnp.max(score, axis=1, keepdims=True)  # (B, 1)
@@ -294,25 +394,92 @@ def _beam_kernel(lp_ref, len_ref, *rest, time_chunk, beam_width,
         h1_ref[:] = jnp.where(alive, as_u32(sel["h1"]), h1)
         h2_ref[:] = jnp.where(alive, as_u32(sel["h2"]), h2)
         last_ref[:] = jnp.where(alive, sel["last"], last)
-        if char_lm:
+        if char_lm or word_lm:
             lm_ref[:] = jnp.where(alive, sel["lm"], lm)
+        if char_lm:
             ctx_ref[:] = jnp.where(alive, sel["ctx"], ctx)
+        if word_lm:
+            # per-beam word state follows the SELECTED parent (the XLA
+            # path gathers state.wh[parent] after top-k), then applies
+            # the space/grow transitions for extended beams
+            def psel(arr, u32=False):
+                out = []
+                for j in range(w):
+                    ohp = sel["parent"][:, j:j + 1] == iota_w  # (B, W)
+                    src = (jax.lax.bitcast_convert_type(arr, jnp.int32)
+                           if u32 else arr)
+                    v = jnp.sum(jnp.where(ohp, src, 0), axis=1,
+                                keepdims=True)
+                    out.append(v)
+                v = jnp.concatenate(out, axis=1)
+                return (jax.lax.bitcast_convert_type(v, jnp.uint32)
+                        if u32 else v)
+
+            p_wh1 = psel(wh1, u32=True)
+            p_wh2 = psel(wh2, u32=True)
+            p_wlen = psel(wlen)
+            p_wc1 = [psel(a, u32=True) for a in wc1s]
+            p_wc2 = [psel(a, u32=True) for a in wc2s]
+            pe1 = psel(weff1, u32=True)
+            pe2 = psel(weff2, u32=True)
+            newchar = sel["new"]
+            extended = newchar >= 0
+            is_space = extended & (newchar == space_id)
+            closes = is_space & (p_wlen > 0)
+            # ring push (oldest drops) only when a word closes
+            n_wc1 = [jnp.where(closes,
+                               p_wc1[k + 1] if k + 1 < ring_len else pe1,
+                               p_wc1[k]) for k in range(ring_len)]
+            n_wc2 = [jnp.where(closes,
+                               p_wc2[k + 1] if k + 1 < ring_len else pe2,
+                               p_wc2[k]) for k in range(ring_len)]
+            grows = extended & (newchar != space_id)
+            cu_new = jnp.maximum(newchar, 0).astype(jnp.uint32)
+            n_wh1 = jnp.where(
+                is_space, jnp.uint32(0),
+                jnp.where(grows, _mix32(p_wh1, cu_new, jnp.uint32(_M1)),
+                          p_wh1))
+            n_wh2 = jnp.where(
+                is_space, jnp.uint32(0),
+                jnp.where(grows, _mix32(p_wh2, cu_new, jnp.uint32(_M2)),
+                          p_wh2))
+            n_wlen = jnp.where(is_space, 0,
+                               jnp.where(grows, p_wlen + 1, p_wlen))
+            wh1_ref[:] = jnp.where(alive, n_wh1, wh1)
+            wh2_ref[:] = jnp.where(alive, n_wh2, wh2)
+            wlen_ref[:] = jnp.where(alive, n_wlen, wlen)
+            for k in range(ring_len):
+                wc1_refs[k][:] = jnp.where(alive, n_wc1[k], wc1s[k])
+                wc2_refs[k][:] = jnp.where(alive, n_wc2[k], wc2s[k])
         parents_ref[i] = jnp.where(alive, sel["parent"], iota_w)
         chars_ref[i] = jnp.where(alive, sel["new"], -1)
         return 0
 
     jax.lax.fori_loop(0, time_chunk, body, 0, unroll=True)
     scores_ref[:] = _lse(pb_ref[:], pnb_ref[:])
-    if char_lm:
+    if char_lm or word_lm:
         scores_ref[:] = scores_ref[:] + lm_ref[:]
+    if word_lm:
+        # close the final partial word (ctcdecode finish_decoding) —
+        # recomputed at every chunk end; only the last chunk's value
+        # survives
+        fscore, _, _ = _wscore(
+            wh1_ref[:], wh2_ref[:], wlen_ref[:],
+            [r[:] for r in wc1_refs], [r[:] for r in wc2_refs],
+        )
+        scores_ref[:] = scores_ref[:] + jnp.where(
+            wlen_ref[:] > 0, alpha * fscore + beta, 0.0
+        )
 
 
 def beam_scan_pallas(logprobs, lengths, *, beam_width, blank_id,
                      cutoff_top_n=40, cutoff_prob=1.0,
                      prune_logp=-20.0, time_chunk=DEFAULT_TIME_CHUNK,
-                     char_table=None, ctx_len=0, alpha=0.0, beta=0.0,
-                     space_id=None):
-    """Fused prefix beam search (no-LM, or char-LM via dense table).
+                     char_table=None, ctx_len=0, word_tables=None,
+                     alpha=0.0, beta=0.0, space_id=None):
+    """Fused prefix beam search: no-LM, char-LM (dense table), or
+    word-LM (full-table-compare probes; small tables only — the
+    caller gates on capacity, see decode.beam._use_pallas).
 
     Args:
       logprobs: (B, T, C) float log-probabilities.
@@ -335,17 +502,21 @@ def beam_scan_pallas(logprobs, lengths, *, beam_width, blank_id,
         lp = jnp.pad(lp, ((0, t_pad - t), (0, 0), (0, 0)))
     n_chunks = t_pad // time_chunk
     char_lm = char_table is not None
+    word_lm = word_tables is not None
     if char_lm and c_num > (1 << CTX_SHIFT):
         raise ValueError(
             f"in-kernel char-LM packs class ids in {CTX_SHIFT} bits; "
             f"n_class={c_num} exceeds {1 << CTX_SHIFT}"
         )
+    w_order = word_tables.order if word_lm else 0
+    ring_len = max(1, w_order - 1) if word_lm else 0
 
     kern = functools.partial(
         _beam_kernel, time_chunk=time_chunk, beam_width=w,
         blank_id=blank_id, cutoff_top_n=cutoff_top_n,
         cutoff_prob=cutoff_prob, prune_logp=prune_logp,
-        char_lm=char_lm, alpha=alpha, beta=beta, space_id=space_id,
+        char_lm=char_lm, word_lm=word_lm, w_order=w_order,
+        ring_len=ring_len, alpha=alpha, beta=beta, space_id=space_id,
         ctx_len=ctx_len,
     )
     in_specs = [
@@ -372,10 +543,27 @@ def beam_scan_pallas(logprobs, lengths, *, beam_width, blank_id,
             pl.BlockSpec(stacked.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM))
         inputs.append(stacked)
+    if word_lm:
+        for k in range(w_order):
+            for arr in (word_tables.keys1[k], word_tables.keys2[k],
+                        word_tables.logps[k], word_tables.backoffs[k]):
+                row = jnp.asarray(arr).reshape(1, -1)
+                in_specs.append(
+                    pl.BlockSpec(row.shape, lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM))
+                inputs.append(row)
+    if char_lm or word_lm:
+        scratch.append(pltpu.VMEM((b, w), jnp.float32))  # lm
+    if char_lm:
+        scratch.append(pltpu.VMEM((b, w), jnp.int32))    # ctx
+    if word_lm:
         scratch += [
-            pltpu.VMEM((b, w), jnp.int32),    # ctx
-            pltpu.VMEM((b, w), jnp.float32),  # lm
+            pltpu.VMEM((b, w), jnp.uint32),  # wh1
+            pltpu.VMEM((b, w), jnp.uint32),  # wh2
+            pltpu.VMEM((b, w), jnp.int32),   # wlen
         ]
+        scratch += [pltpu.VMEM((b, w), jnp.uint32)
+                    for _ in range(2 * ring_len)]  # wc1_k then wc2_k
     parents, chars, scores = pl.pallas_call(
         kern,
         grid=(n_chunks,),
