@@ -253,3 +253,58 @@ def test_eval_cli_resident_beam_char_lm_matches_streaming(tmp_path, capsys):
         beam_ops.INTERPRET = False
     assert streaming.startswith("Test Summary")
     assert resident == streaming
+
+
+def test_eval_cli_resident_beam_word_lm_matches_streaming(tmp_path, capsys):
+    """Resident beam eval with in-kernel WORD-LM fusion == the
+    per-batch loop (which also runs the kernel for small LMs)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import tpuasr.ops.beam as beam_ops
+    from tpuasr.audio.frontend import FrontendConfig
+    from tpuasr.audio.io import save_audio
+    from tpuasr.cli.test import main as test_main
+    from tpuasr.data.manifest import create_manifest
+    from tpuasr.decode.lm import train_ngram
+    from tpuasr.labels import Alphabet
+    from tpuasr.model.ds2 import ModelConfig
+    from tpuasr.train.checkpoint import CheckpointPackage, save_checkpoint
+    from tpuasr.train.step import TrainConfig, init_train_state
+
+    rng = np.random.RandomState(4)
+    for i, text in enumerate(["ABA BOB", "BOB CACO"]):
+        save_audio(str(tmp_path / f"u{i}.wav"),
+                   (0.1 * rng.randn(5600)).astype(np.float32), 16000)
+        (tmp_path / f"u{i}.txt").write_text(text)
+    man = str(tmp_path / "man.csv")
+    create_manifest(str(tmp_path), man)
+    lm = train_ngram(["ABA BOB", "BOB CACO", "CACO ABA"], order=2)
+    arpa = str(tmp_path / "word.arpa")
+    lm.save(arpa)
+
+    mc = ModelConfig(n_classes=Alphabet().size, hidden_size=16,
+                     hidden_layers=1, compute_dtype=jnp.float32)
+    state = init_train_state(mc, TrainConfig(), jax.random.PRNGKey(0))
+    ckpt = str(tmp_path / "m.ckpt")
+    save_checkpoint(ckpt, CheckpointPackage(
+        model_config=mc, frontend_config=FrontendConfig(),
+        labels=Alphabet().labels,
+        variables={"params": jax.device_get(state.params),
+                   "batch_stats": jax.device_get(state.batch_stats)},
+    ))
+    common = ["--model-path", ckpt, "--test-manifest", man,
+              "--batch-size", "2", "--decoder", "beam-device",
+              "--beam-width", "4", "--lm-path", arpa, "--alpha", "0.7",
+              "--beta", "0.4"]
+    beam_ops.INTERPRET = True
+    try:
+        test_main(common)
+        streaming = capsys.readouterr().out.strip().splitlines()[-1]
+        test_main(common + ["--device-resident-audio"])
+        resident = capsys.readouterr().out.strip().splitlines()[-1]
+    finally:
+        beam_ops.INTERPRET = False
+    assert streaming.startswith("Test Summary")
+    assert resident == streaming

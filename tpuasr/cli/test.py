@@ -148,6 +148,10 @@ def main(argv=None) -> int:
             lm_kw = dict(char_table=jnp.asarray(table), ctx_len=k_ctx,
                          alpha=args.alpha, beta=args.beta,
                          space_id=alphabet.space_id)
+        elif decoder._word_tables is not None:
+            lm_kw = dict(word_tables=decoder._word_tables,
+                         alpha=args.alpha, beta=args.beta,
+                         space_id=alphabet.space_id)
         runner = make_resident_beam_eval_runner(
             model_cfg, pkg.frontend_config, beam_width=w,
             blank_id=alphabet.blank_id, cutoff_top_n=args.cutoff_top_n,
