@@ -188,3 +188,13 @@ def test_kernel_word_lm_order2():
     xla = DeviceBeamDecoder(ABC, beam_width=5, word_lm=lm, alpha=0.8,
                             beta=0.3, impl="xla")
     assert pal.decode(logits, lengths) == xla.decode(logits, lengths)
+
+
+def test_explicit_pallas_with_unfusable_lm_raises():
+    from tpuasr.decode.lm import train_ngram
+
+    lm = train_ngram([" ".join(list("ABACABBACABA"))] * 4, order=4)
+    dec = DeviceBeamDecoder(ABC, beam_width=4, char_lm=lm, alpha=0.5,
+                            impl="pallas")
+    with pytest.raises(ValueError, match="cannot fuse"):
+        dec._use_pallas()

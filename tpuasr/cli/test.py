@@ -132,26 +132,16 @@ def main(argv=None) -> int:
     elif (args.device_resident_audio and args.decoder == "beam-device"
           and decoder._use_pallas()):
         # beam-search eval-in-a-scan (fused Pallas kernel + packed
-        # readout; char-LM fusion rides in-kernel via its dense table);
-        # word-LM decodes use the per-batch loop (_use_pallas is False)
+        # readout; char- and small-table word-LM fusion ride in-kernel)
+        # — only LMs the kernel cannot fuse (big word vocabularies)
+        # fall through to the per-batch loop (_use_pallas False)
         import jax.numpy as jnp
 
-        from tpuasr.decode.beam import (_backtrack, dense_char_lm_table,
-                                        unpack_decode_outputs)
+        from tpuasr.decode.beam import _backtrack, unpack_decode_outputs
         from tpuasr.train.step import make_resident_beam_eval_runner
 
         w = args.beam_width
-        lm_kw = {}
-        if decoder._lm_tables is not None and args.alpha != 0.0:
-            table, k_ctx = dense_char_lm_table(decoder._lm_tables,
-                                               alphabet.size)
-            lm_kw = dict(char_table=jnp.asarray(table), ctx_len=k_ctx,
-                         alpha=args.alpha, beta=args.beta,
-                         space_id=alphabet.space_id)
-        elif decoder._word_tables is not None:
-            lm_kw = dict(word_tables=decoder._word_tables,
-                         alpha=args.alpha, beta=args.beta,
-                         space_id=alphabet.space_id)
+        lm_kw = decoder._kernel_lm_kwargs(alphabet.size)
         runner = make_resident_beam_eval_runner(
             model_cfg, pkg.frontend_config, beam_width=w,
             blank_id=alphabet.blank_id, cutoff_top_n=args.cutoff_top_n,

@@ -606,30 +606,47 @@ class DeviceBeamDecoder:
             prune_logp=prune_logp,
         )
         self._cache = {}
-        self._dense_char_table = None
+        self._dense_char_table: dict = {}  # n_class -> (table, k_ctx)
 
     # in-kernel word-LM probing is a full-table compare per beam; caps
     # beyond this make the per-frame VPU work dominate — bigger LMs
     # decode on the XLA path (hash-probe gathers)
     MAX_KERNEL_WORD_CAP = 8192
 
+    def _kernel_lm_ineligible(self) -> str | None:
+        """Why the fused kernel cannot fuse this decoder's LM (None =
+        eligible / no LM)."""
+        if self._word_tables is not None:
+            wt = self._word_tables
+            if wt.order > 3:
+                return f"word-LM order {wt.order} > 3"
+            caps = [int(k.shape[0]) for k in wt.keys1]
+            if any(c > self.MAX_KERNEL_WORD_CAP for c in caps):
+                return (f"word-LM table caps {caps} exceed "
+                        f"{self.MAX_KERNEL_WORD_CAP}")
+        if self._lm_tables is not None:
+            from tpuasr.ops.beam import CTX_SHIFT
+
+            if self._lm_tables.order > 3:
+                return f"char-LM order {self._lm_tables.order} > 3"
+            if self.alphabet.size > (1 << CTX_SHIFT):
+                return (f"alphabet size {self.alphabet.size} > "
+                        f"{1 << CTX_SHIFT}")
+        return None
+
     def _use_pallas(self) -> bool:
         if self.impl == "xla":
             return False
-        if self._word_tables is not None:
-            wt = self._word_tables
-            if (wt.order > 3 or any(
-                    k.shape[0] > self.MAX_KERNEL_WORD_CAP
-                    for k in wt.keys1)):
-                return False  # big word LM: XLA fusion path
-        if self._lm_tables is not None:
-            # char-LM fuses in-kernel via a dense table when the
-            # context space is small enough (order <= 3, ids < 64)
-            from tpuasr.ops.beam import CTX_SHIFT
-
-            if (self._lm_tables.order > 3
-                    or self.alphabet.size > (1 << CTX_SHIFT)):
-                return False
+        why_not = self._kernel_lm_ineligible()
+        if why_not is not None:
+            if self.impl == "pallas":
+                # an explicit kernel request must fail loudly, not
+                # silently hand back the XLA path
+                raise ValueError(
+                    f"impl='pallas' requested but the LM cannot fuse "
+                    f"in-kernel ({why_not}); use impl='auto'/'xla'"
+                )
+            return False  # "auto": XLA fusion path
         if self.impl == "pallas":
             return True
         from tpuasr.ops import beam as _ops_beam
@@ -643,6 +660,34 @@ class DeviceBeamDecoder:
             return str(platform).lower() != "cpu"
         return jax.default_backend() != "cpu"
 
+    def _kernel_lm_kwargs(self, n_class: int) -> dict:
+        """LM kwargs for beam_scan_pallas — the ONE place that decides
+        how this decoder's LM rides in the fused kernel (shared by
+        _run and the resident eval runner in cli.test)."""
+        import jax.numpy as jnp
+
+        # alpha == 0 disables char fusion entirely in the XLA path
+        # (including the beta space bonus) — mirror that
+        if self._lm_tables is not None and self.cfg.alpha != 0.0:
+            if self._dense_char_table.get(n_class) is None:
+                self._dense_char_table[n_class] = dense_char_lm_table(
+                    self._lm_tables, n_class
+                )
+            table, k_ctx = self._dense_char_table[n_class]
+            return dict(
+                char_table=jnp.asarray(table), ctx_len=k_ctx,
+                alpha=self.cfg.alpha, beta=self.cfg.beta,
+                space_id=self.cfg.space_id,
+            )
+        if (self._word_tables is not None
+                and self.cfg.space_id is not None):
+            return dict(
+                word_tables=self._word_tables,
+                alpha=self.cfg.alpha, beta=self.cfg.beta,
+                space_id=self.cfg.space_id,
+            )
+        return {}
+
     def _run(self, logits, lengths, track_offsets: bool = True):
         logits = jnp.asarray(logits)
         logprobs = jax.nn.log_softmax(logits, axis=-1)
@@ -654,27 +699,7 @@ class DeviceBeamDecoder:
 
                 from tpuasr.ops.beam import beam_scan_pallas
 
-                lm_kw = {}
-                # alpha == 0 disables char fusion entirely in the XLA
-                # path (including the beta space bonus) — mirror that
-                if self._lm_tables is not None and self.cfg.alpha != 0.0:
-                    if self._dense_char_table is None:
-                        self._dense_char_table = dense_char_lm_table(
-                            self._lm_tables, n_class
-                        )
-                    table, k_ctx = self._dense_char_table
-                    lm_kw = dict(
-                        char_table=jnp.asarray(table), ctx_len=k_ctx,
-                        alpha=self.cfg.alpha, beta=self.cfg.beta,
-                        space_id=self.cfg.space_id,
-                    )
-                elif (self._word_tables is not None
-                      and self.cfg.space_id is not None):
-                    lm_kw = dict(
-                        word_tables=self._word_tables,
-                        alpha=self.cfg.alpha, beta=self.cfg.beta,
-                        space_id=self.cfg.space_id,
-                    )
+                lm_kw = self._kernel_lm_kwargs(n_class)
                 kernel = partial(
                     beam_scan_pallas,
                     beam_width=self.cfg.beam_width,

@@ -24,9 +24,13 @@ top_k/argsort/gather (unsupported or slow in Mosaic):
     (lowest flat index wins),
   * every gather       = one-hot mask + lane reduction.
 
-LM fusion is NOT handled here: word-LM probes hash tables far larger
-than VMEM-friendly one-hot forms; LM-fused decodes stay on the XLA
-path (decode/beam.py picks the implementation).
+LM fusion runs IN-KERNEL for both modes when the tables are small
+enough (decode/beam.py gates and picks the implementation): char-LM
+via a dense per-context score table (order <= 3; bit-packed contexts,
+two-hot bf16 hi/lo MXU lookup), word-LM via full-table-compare probes
+with the per-beam word state (rolling hash, completed-word ring,
+partial length) held as 2D VMEM planes. Large-vocabulary word LMs
+stay on the XLA hash-probe path.
 
 Reference parity: ctcdecode C++ beam decoder (SURVEY.md §3.2,
 ref:decoder.py BeamCTCDecoder).
@@ -128,9 +132,10 @@ def _beam_kernel(lp_ref, len_ref, *rest, time_chunk, beam_width,
             H2 = _mix32(H2, t2, jnp.uint32(_M2))
         return H1, H2
 
-    def _wscore(wh1, wh2, wlen, wc1s, wc2s):
+    def _wscore(wh1, wh2, wc1s, wc2s):
         """(B, W) word-LM scores + effective token hashes — the
-        in-kernel mirror of decode.beam._word_lm_score."""
+        in-kernel mirror of decode.beam._word_lm_score (wlen > 0
+        gating happens at the call sites, as in the XLA path)."""
         uf, _, _ = _wprobe(0, *_wfold([(wh1, wh2)]))
         eff1 = jnp.where(uf, wh1, jnp.uint32(UNK_TOK[0]))
         eff2 = jnp.where(uf, wh2, jnp.uint32(UNK_TOK[1]))
@@ -205,7 +210,7 @@ def _beam_kernel(lp_ref, len_ref, *rest, time_chunk, beam_width,
             wh1, wh2, wlen = wh1_ref[:], wh2_ref[:], wlen_ref[:]
             wc1s = [r[:] for r in wc1_refs]
             wc2s = [r[:] for r in wc2_refs]
-            wscore, weff1, weff2 = _wscore(wh1, wh2, wlen, wc1s, wc2s)
+            wscore, weff1, weff2 = _wscore(wh1, wh2, wc1s, wc2s)
             word_bonus = jnp.where(
                 wlen > 0, alpha * wscore + beta, 0.0
             )  # (B, W)
@@ -461,15 +466,17 @@ def _beam_kernel(lp_ref, len_ref, *rest, time_chunk, beam_width,
         scores_ref[:] = scores_ref[:] + lm_ref[:]
     if word_lm:
         # close the final partial word (ctcdecode finish_decoding) —
-        # recomputed at every chunk end; only the last chunk's value
-        # survives
-        fscore, _, _ = _wscore(
-            wh1_ref[:], wh2_ref[:], wlen_ref[:],
-            [r[:] for r in wc1_refs], [r[:] for r in wc2_refs],
-        )
-        scores_ref[:] = scores_ref[:] + jnp.where(
-            wlen_ref[:] > 0, alpha * fscore + beta, 0.0
-        )
+        # only the LAST chunk's scores survive, so don't pay the
+        # full-table probes on every grid step
+        @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
+        def _close():
+            fscore, _, _ = _wscore(
+                wh1_ref[:], wh2_ref[:],
+                [r[:] for r in wc1_refs], [r[:] for r in wc2_refs],
+            )
+            scores_ref[:] = scores_ref[:] + jnp.where(
+                wlen_ref[:] > 0, alpha * fscore + beta, 0.0
+            )
 
 
 def beam_scan_pallas(logprobs, lengths, *, beam_width, blank_id,
@@ -503,6 +510,8 @@ def beam_scan_pallas(logprobs, lengths, *, beam_width, blank_id,
     n_chunks = t_pad // time_chunk
     char_lm = char_table is not None
     word_lm = word_tables is not None
+    if char_lm and word_lm:
+        raise ValueError("pass char_table or word_tables, not both")
     if char_lm and c_num > (1 << CTX_SHIFT):
         raise ValueError(
             f"in-kernel char-LM packs class ids in {CTX_SHIFT} bits; "

@@ -248,11 +248,14 @@ def make_resident_beam_eval_runner(model_cfg: ModelConfig,
                                    prune_logp: float = -20.0,
                                    **lm_kw):
     """Beam-search eval-in-a-scan: ONE dispatch runs eval forward +
-    the fused Pallas beam kernel (no-LM) for a whole bucket schedule,
-    emitting the packed int16 backpointer readout per chunk — the
-    beam analogue of make_resident_eval_runner (BASELINE config 4:
-    "beam-search decoding ... batch eval on full LapsBM"). LM-fused
-    decodes stay on the per-batch path. Returns jitted fn:
+    the fused Pallas beam kernel for a whole bucket schedule, emitting
+    the packed int16 backpointer readout per chunk — the beam analogue
+    of make_resident_eval_runner (BASELINE config 4: "beam-search
+    decoding ... batch eval on full LapsBM"). ``lm_kw`` forwards the
+    kernel's LM-fusion kwargs (char_table/ctx_len or word_tables, plus
+    alpha/beta/space_id — see DeviceBeamDecoder._kernel_lm_kwargs);
+    LMs the kernel cannot fuse use the per-batch path. Returns jitted
+    fn:
       (variables, waves_bank, wl_bank, idx_mat (K,B)) ->
       packed (K, B, T'*W + 2W) int16 (decode/beam.unpack_decode_outputs
       + _backtrack on host).
@@ -266,7 +269,7 @@ def make_resident_beam_eval_runner(model_cfg: ModelConfig,
     kernel = partial(beam_scan_pallas, beam_width=beam_width,
                      blank_id=blank_id, cutoff_top_n=cutoff_top_n,
                      cutoff_prob=cutoff_prob, prune_logp=prune_logp,
-                     **lm_kw)  # char_table/ctx_len/alpha/beta/space_id
+                     **lm_kw)
 
     @jax.jit
     def run(variables, waves_bank, wl_bank, idx_mat):
