@@ -75,21 +75,26 @@ def _fwd_kernel(xg_ref, wh_ref, bh_ref, m_ref, out_ref, h_ref, *, time_chunk):
     def _init():
         h_ref[:] = jnp.zeros_like(h_ref)
 
-    def body(t, _):
-        h = h_ref[:].astype(jnp.float32)  # (D, B, H)
+    bh = bh_ref[:].astype(jnp.float32)[:, None, :]
+
+    def body(t, h_c):
+        # h is a loop-carried SSA VALUE, not a scratch read/write per
+        # step: ref round-trips put a memory dependency between the two
+        # (otherwise independent) direction chains each iteration
+        h = h_c.astype(jnp.float32)  # (D, B, H)
         hg = jnp.stack([
-            jnp.dot(h_ref[d], wh_ref[d], preferred_element_type=jnp.float32)
+            jnp.dot(h_c[d], wh_ref[d], preferred_element_type=jnp.float32)
             for d in range(n_dir)
-        ]) + bh_ref[:].astype(jnp.float32)[:, None, :]
+        ]) + bh
         xg = xg_ref[t].astype(jnp.float32)  # (D, B, 3H)
         h_new, _gates = _gru_gates(xg, hg, h)
-        m = m_ref[t].astype(jnp.float32)[:, :, None]  # (2, B, 1)
-        h_new = m * h_new + (1.0 - m) * h
-        h_ref[:] = h_new.astype(h_ref.dtype)
+        m = m_ref[t].astype(jnp.float32)[:, :, None]  # (D, B, 1)
+        h_new = (m * h_new + (1.0 - m) * h).astype(h_ref.dtype)
         out_ref[t] = h_new.astype(out_ref.dtype)
-        return 0
+        return h_new
 
-    jax.lax.fori_loop(0, time_chunk, body, 0, unroll=True)
+    h_last = jax.lax.fori_loop(0, time_chunk, body, h_ref[:], unroll=True)
+    h_ref[:] = h_last
 
 
 def _bwd_kernel(xg_ref, wh_ref, bh_ref, m_ref, hprev_ref, dy_ref,
