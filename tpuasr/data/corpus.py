@@ -138,9 +138,13 @@ def prepare_lapsbm(
     leading speaker component. Falls back to the generic pair scan when
     no ``LapsBM*`` speaker dirs exist."""
     src = Path(source)
+    # require the sex marker + digits: a container dir named plain
+    # "LapsBM" holding the speaker dirs must NOT itself match, or its
+    # rglob'd wavs would be ingested twice (once via the container,
+    # once via each speaker dir)
     speaker_dirs = sorted(
         d for d in src.rglob("LapsBM*") if d.is_dir()
-        and re.match(r"LapsBM-?[FM]?\d*$", d.name)
+        and re.match(r"LapsBM-?[FM]\d+$", d.name)
     )
     if not speaker_dirs:
         return prepare_pairs(source, out_dir, manifest_path,

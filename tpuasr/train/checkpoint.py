@@ -41,6 +41,12 @@ class CheckpointPackage:
     opt_state: Any = None
     epoch: int = 0
     iteration: int = 0
+    # Batches already consumed in epoch ``epoch`` (0 = epoch boundary).
+    # Set by --checkpoint-per-batch and preemption saves; resume skips
+    # this many batches of the epoch schedule, reproducing the
+    # continuous run exactly (ref:train.py --continue-from semantics,
+    # SURVEY.md §5.4).
+    epoch_batch: int = 0
     loss_history: list = field(default_factory=list)
     wer_history: list = field(default_factory=list)
     cer_history: list = field(default_factory=list)
@@ -63,6 +69,7 @@ def save_checkpoint(path: str, pkg: CheckpointPackage) -> None:
         "labels": pkg.labels,
         "epoch": pkg.epoch,
         "iteration": pkg.iteration,
+        "epoch_batch": pkg.epoch_batch,
         "loss_history": list(map(float, pkg.loss_history)),
         "wer_history": list(map(float, pkg.wer_history)),
         "cer_history": list(map(float, pkg.cer_history)),
@@ -100,6 +107,7 @@ def load_checkpoint(path: str) -> CheckpointPackage:
         opt_state=payload.get("opt_state"),
         epoch=header["epoch"],
         iteration=header["iteration"],
+        epoch_batch=header.get("epoch_batch", 0),
         loss_history=header["loss_history"],
         wer_history=header["wer_history"],
         cer_history=header["cer_history"],

@@ -156,8 +156,12 @@ def train(
     if mesh is None:
         mesh = make_mesh() if loop_cfg.use_mesh and len(jax.devices()) > 1 else None
 
-    rng = jax.random.PRNGKey(loop_cfg.seed)
-    start_epoch, iteration = 0, 0
+    # Per-step randomness is derived as fold_in(base_rng, iteration) —
+    # a pure function of (seed, global step) — so a mid-epoch resume
+    # reproduces the continuous run's augmentation stream exactly with
+    # no fast-forwarding (SURVEY.md §5.4 exact-resume contract).
+    base_rng = jax.random.PRNGKey(loop_cfg.seed)
+    start_epoch, iteration, start_batch = 0, 0, 0
     histories = {"loss": [], "wer": [], "cer": []}
     best_wer = float("inf")
 
@@ -171,7 +175,7 @@ def train(
         model_cfg = pkg.model_config
         frontend_cfg = pkg.frontend_config
         alphabet = pkg.alphabet
-    state = init_train_state(model_cfg, train_cfg, rng)
+    state = init_train_state(model_cfg, train_cfg, base_rng)
     if continue_from:
         state = state.replace(
             params=jax.tree.map(
@@ -190,6 +194,7 @@ def train(
                 )
             start_epoch = pkg.epoch
             iteration = pkg.iteration
+            start_batch = pkg.epoch_batch  # mid-epoch position, 0 = boundary
             histories = {
                 "loss": list(pkg.loss_history),
                 "wer": list(pkg.wer_history),
@@ -203,16 +208,15 @@ def train(
     # Epoch-in-a-scan fast path: with a device-resident corpus (the
     # loader exposes bucket_chunks) one dispatch trains a whole
     # bucket's schedule — the per-step dispatch latency that otherwise
-    # floors sustained throughput disappears (BASELINE.md). Falls back
-    # to the streaming loop under a mesh or per-batch checkpointing.
+    # floors sustained throughput disappears (BASELINE.md).
     # Under a mesh the banks are replicated and the index matrix's
     # batch axis is sharded over ``data`` — each device gathers its own
     # batch shard from its bank copy and XLA inserts the gradient psum,
     # exactly like the streaming DP path.
-    use_epoch_scan = (
-        loop_cfg.checkpoint_per_batch == 0
-        and hasattr(train_loader, "bucket_chunks")
-    )
+    # --checkpoint-per-batch N caps the scan length at N (a checkpoint
+    # is a host-visible event, so it bounds the dispatch granularity);
+    # preemption signals are honored between chunks the same way.
+    use_epoch_scan = hasattr(train_loader, "bucket_chunks")
     if use_epoch_scan:
         epoch_runner = make_resident_epoch_runner(
             model_cfg, frontend_cfg, train_cfg, augment_fn
@@ -221,7 +225,7 @@ def train(
     train_step = make_train_step(model_cfg, frontend_cfg, train_cfg, augment_fn)
     eval_step = make_eval_step(model_cfg, frontend_cfg)
 
-    def make_pkg(epoch: int) -> CheckpointPackage:
+    def make_pkg(epoch: int, epoch_batch: int = 0) -> CheckpointPackage:
         host_state = jax.device_get(state)
         return CheckpointPackage(
             model_config=model_cfg,
@@ -234,6 +238,7 @@ def train(
             opt_state=host_state.opt_state,
             epoch=epoch,
             iteration=iteration,
+            epoch_batch=epoch_batch,
             loss_history=histories["loss"],
             wer_history=histories["wer"],
             cer_history=histories["cer"],
@@ -248,6 +253,7 @@ def train(
             raise _PreemptionExit
 
     pkg = make_pkg(start_epoch)
+    epoch_done = 0  # batches consumed in the current epoch (for preempt saves)
     try:
         for epoch in range(start_epoch, loop_cfg.epochs):
             lr = train_cfg.lr_at_epoch(epoch)  # anneal: lr / 1.1^epoch
@@ -302,74 +308,117 @@ def train(
                 window_data = 0.0
 
             n_total = train_loader.num_batches(epoch)
+            # Mid-epoch resume: skip the batches the checkpoint already
+            # consumed. The epoch schedule is a pure function of
+            # (seed, epoch), so the remaining batches — and, on the scan
+            # path, the remaining chunk boundaries — reproduce the
+            # continuous run's exactly.
+            resume_skip = start_batch if epoch == start_epoch else 0
+            epoch_done = resume_skip
             if use_epoch_scan:
+                cap = loop_cfg.checkpoint_per_batch
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                pos = 0  # batches of this epoch's schedule seen so far
                 for b, bank, idx_mat, n_valid, valid_mat in (
                     train_loader.bucket_chunks(epoch)
                 ):
-                    rng, chunk_rng = jax.random.split(rng)
-                    k = idx_mat.shape[0]
-                    bank_arrays = (bank.waves, bank.wave_lengths, bank.labels,
-                                   bank.label_lengths)
-                    if mesh is not None:
-                        # banks replicated once per bucket; batch axis of the
-                        # schedule sharded over data — each device gathers
-                        # its own shard, XLA psums the grads
-                        if b not in mesh_banks:
-                            mesh_banks[b] = replicate(mesh, bank_arrays)
-                        bank_arrays = mesh_banks[b]
-                        from jax.sharding import NamedSharding, PartitionSpec
-
-                        kb_sharding = NamedSharding(
-                            mesh, PartitionSpec(None, "data")
+                    bank_arrays = None
+                    n_bucket = idx_mat.shape[0]
+                    # --checkpoint-per-batch N caps each scan at N batches
+                    # (saves and preemption are host events, so they bound
+                    # the dispatch granularity); 0 = one scan per bucket.
+                    starts = range(0, n_bucket, cap) if cap else (0,)
+                    for s in starts:
+                        e = min(s + cap, n_bucket) if cap else n_bucket
+                        lo = pos
+                        pos += e - s
+                        if pos <= resume_skip:
+                            continue  # consumed before the resume point
+                        # mid-chunk resume (checkpoint from a different
+                        # cap/path): slice off the consumed rows
+                        r0 = s + max(resume_skip - lo, 0)
+                        check_preempt()
+                        if bank_arrays is None:
+                            bank_arrays = (bank.waves, bank.wave_lengths,
+                                           bank.labels, bank.label_lengths)
+                            if mesh is not None:
+                                # banks replicated once per bucket; batch
+                                # axis of the schedule sharded over data —
+                                # each device gathers its own shard, XLA
+                                # psums the grads
+                                if b not in mesh_banks:
+                                    mesh_banks[b] = replicate(mesh, bank_arrays)
+                                bank_arrays = mesh_banks[b]
+                        idx_c, valid_c = idx_mat[r0:e], valid_mat[r0:e]
+                        nv_c = n_valid[r0:e]
+                        k = idx_c.shape[0]
+                        if mesh is not None:
+                            kb_sharding = NamedSharding(
+                                mesh, PartitionSpec(None, "data")
+                            )
+                            idx_dev = jax.device_put(idx_c, kb_sharding)
+                            valid_dev = jax.device_put(valid_c, kb_sharding)
+                        else:
+                            idx_dev = jnp.asarray(idx_c)
+                            valid_dev = jnp.asarray(valid_c)
+                        chunk_rng = jax.random.fold_in(base_rng, iteration)
+                        t0c = time.time()
+                        state, metrics = epoch_runner(
+                            state, *bank_arrays, idx_dev, valid_dev, lr_dev,
+                            chunk_rng,
                         )
-                        idx_dev = jax.device_put(idx_mat, kb_sharding)
-                        valid_dev = jax.device_put(valid_mat, kb_sharding)
-                    else:
-                        idx_dev = jnp.asarray(idx_mat)
-                        valid_dev = jnp.asarray(valid_mat)
-                    t0c = time.time()
-                    state, metrics = epoch_runner(
-                        state, *bank_arrays, idx_dev, valid_dev, lr_dev,
-                        chunk_rng,
-                    )
-                    vals = {kk: np.asarray(v) for kk, v in metrics.items()}
-                    wall = time.time() - t0c
-                    per_step = wall / k
-                    step_time.update(per_step, n=k)
-                    utts = int(n_valid.sum())
-                    for j in range(k):
-                        iteration += 1
-                        loss_meter.update(float(vals["loss"][j]),
-                                          n=int(n_valid[j]))
-                        logger.log(
-                            iteration,
-                            {**{kk: float(v[j]) for kk, v in vals.items()},
-                             "lr": lr, "epoch": epoch, "step_time": per_step,
-                             "data_time": 0.0},
-                            prefix="train/",
+                        vals = {kk: np.asarray(v) for kk, v in metrics.items()}
+                        wall = time.time() - t0c
+                        per_step = wall / k
+                        step_time.update(per_step, n=k)
+                        utts = int(nv_c.sum())
+                        for j in range(k):
+                            iteration += 1
+                            loss_meter.update(float(vals["loss"][j]),
+                                              n=int(nv_c[j]))
+                            logger.log(
+                                iteration,
+                                {**{kk: float(v[j]) for kk, v in vals.items()},
+                                 "lr": lr, "epoch": epoch,
+                                 "step_time": per_step, "data_time": 0.0},
+                                prefix="train/",
+                            )
+                        epoch_done += k
+                        logger.console(
+                            f"Epoch {epoch} bucket {b} "
+                            f"[{epoch_done}/{n_total}] "
+                            f"loss {loss_meter.val:.4f} "
+                            f"(avg {loss_meter.avg:.4f}) "
+                            f"step {per_step * 1e3:.0f}ms "
+                            f"({utts / max(wall, 1e-9):.1f} utt/s)"
                         )
-                    logger.console(
-                        f"Epoch {epoch} bucket {b} [{k} steps] "
-                        f"loss {loss_meter.val:.4f} (avg {loss_meter.avg:.4f}) "
-                        f"step {per_step * 1e3:.0f}ms "
-                        f"({utts / max(wall, 1e-9):.1f} utt/s)"
-                    )
-                    logger.flush()
+                        logger.flush()
+                        if cap and loop_cfg.save_folder:
+                            save_checkpoint(
+                                f"{loop_cfg.save_folder}/"
+                                f"tpuasr_e{epoch}_b{epoch_done}.ckpt",
+                                make_pkg(epoch, epoch_done),
+                            )
+                        check_preempt()
             else:
                 for i, batch in enumerate(train_loader.epoch(epoch)):
+                    if i < resume_skip:
+                        continue  # consumed before the resume point
                     check_preempt()
                     t_data = time.time()
                     window_data += t_data - t_prev
                     waves, wave_lengths, labels, label_lengths, valid = _device_batch(
                         batch, mesh
                     )
-                    rng, step_rng = jax.random.split(rng)
+                    step_rng = jax.random.fold_in(base_rng, iteration)
                     profiler.maybe_start(iteration)
                     state, metrics = train_step(
                         state, waves, wave_lengths, labels, label_lengths, valid,
                         lr_dev, step_rng,
                     )
                     iteration += 1
+                    epoch_done = i + 1
                     profiler.maybe_stop(iteration)
                     pending.append((iteration, i, metrics, batch.size))
                     t_prev = time.time()
@@ -383,7 +432,7 @@ def train(
                         drain(n_total)
                         save_checkpoint(
                             f"{loop_cfg.save_folder}/tpuasr_e{epoch}_b{i + 1}.ckpt",
-                            make_pkg(epoch),
+                            make_pkg(epoch, i + 1),
                         )
                 drain(n_total)
 
@@ -415,7 +464,7 @@ def train(
                 save_checkpoint(loop_cfg.model_path, pkg)
 
     except _PreemptionExit:
-        pkg = make_pkg(epoch)
+        pkg = make_pkg(epoch, epoch_done)
         if loop_cfg.save_folder:
             path = f"{loop_cfg.save_folder}/tpuasr_preempt.ckpt"
             save_checkpoint(path, pkg)

@@ -253,7 +253,7 @@ def make_resident_beam_eval_runner(model_cfg: ModelConfig,
     of make_resident_eval_runner (BASELINE config 4: "beam-search
     decoding ... batch eval on full LapsBM"). ``lm_kw`` forwards the
     kernel's LM-fusion kwargs (char_table/ctx_len or word_tables, plus
-    alpha/beta/space_id — see DeviceBeamDecoder._kernel_lm_kwargs);
+    alpha/beta/space_id — see DeviceBeamDecoder.kernel_lm_kwargs);
     LMs the kernel cannot fuse use the per-batch path. Returns jitted
     fn:
       (variables, waves_bank, wl_bank, idx_mat (K,B)) ->
@@ -262,9 +262,20 @@ def make_resident_beam_eval_runner(model_cfg: ModelConfig,
     """
     from functools import partial
 
-    from tpuasr.decode.beam import pack_decode_outputs
+    from tpuasr.decode.beam import _packable, pack_decode_outputs
     from tpuasr.ops.beam import beam_scan_pallas
 
+    if not _packable(beam_width, model_cfg.n_classes):
+        # the 15-bit int16 backpointer encoding holds W <= 254 beams
+        # over C <= 126 classes; beyond that the packed readout would
+        # silently corrupt decodes — fail loudly (DeviceBeamDecoder
+        # falls back to unpacked transfers; the scan runner has no such
+        # path yet)
+        raise ValueError(
+            f"resident beam eval needs beam_width <= 254 and n_classes "
+            f"<= 126 for the packed readout (got W={beam_width}, "
+            f"C={model_cfg.n_classes}); use the per-batch decoder"
+        )
     model = DeepSpeech2(model_cfg)
     kernel = partial(beam_scan_pallas, beam_width=beam_width,
                      blank_id=blank_id, cutoff_top_n=cutoff_top_n,
