@@ -198,3 +198,101 @@ def test_explicit_pallas_with_unfusable_lm_raises():
                             impl="pallas")
     with pytest.raises(ValueError, match="cannot fuse"):
         dec._use_pallas()
+
+
+def test_wide_tables_reconstruct_hashed():
+    """build_wide_word_tables: byte planes + hi/mid/lo value splits
+    reconstruct every slot of the source HashedTables."""
+    from tpuasr.decode.beam import (
+        WIDE_LANES,
+        WIDE_PLANES,
+        build_wide_word_tables,
+        pack_word_lm_tables,
+    )
+    from tpuasr.decode.lm import train_ngram
+
+    lm = train_ngram(["AB C AB", "C AB", "AB AB C", "CA C AB"] * 3, order=3)
+    tables = pack_word_lm_tables(lm, ABC)
+    wide = build_wide_word_tables(tables)
+    assert wide.order == tables.order and wide.n_probes == tables.n_probes
+    for k in range(tables.order):
+        cap = wide.caps[k]
+        k1 = np.asarray(tables.keys1[k]).astype(np.uint32)
+        k2 = np.asarray(tables.keys2[k]).astype(np.uint32)
+        lp = np.asarray(tables.logps[k], np.float32)
+        bo = np.asarray(tables.backoffs[k], np.float32)
+        mat = np.asarray(wide.rows[k], np.float32).reshape(
+            -1, WIDE_PLANES, WIDE_LANES
+        )
+        for r in range(mat.shape[0]):
+            for lane in range(WIDE_LANES):
+                s = (r * 128 + lane) % cap
+                got_k1 = sum(int(mat[r, i, lane]) << (8 * i)
+                             for i in range(4))
+                got_k2 = sum(int(mat[r, 4 + i, lane]) << (8 * i)
+                             for i in range(4))
+                assert got_k1 == int(k1[s]) and got_k2 == int(k2[s])
+                if k1[s] or k2[s]:  # real entries: values reconstruct
+                    np.testing.assert_allclose(
+                        mat[r, 8:11, lane].sum(), lp[s], rtol=2e-5,
+                        atol=1e-6)
+                    np.testing.assert_allclose(
+                        mat[r, 11:14, lane].sum(), bo[s], rtol=2e-5,
+                        atol=1e-6)
+
+
+def test_kernel_word_lm_wide_matches_xla(monkeypatch):
+    """The block-fetch (large-vocabulary) word-LM path reproduces the
+    XLA hashed-probe fusion: same n-best texts, scores to ~1e-4 (the
+    3-way bf16 value splits). Forced by dropping the compare-path cap
+    so the same LM routes through WideTables."""
+    from tpuasr.decode.lm import train_ngram
+
+    monkeypatch.setattr(DeviceBeamDecoder, "MAX_KERNEL_WORD_CAP", 2)
+    corpus = ["AB C AB", "C AB", "AB AB C", "C C AB", "AB", "CA AB C"]
+    lm = train_ngram(corpus, order=3)
+    rng = np.random.RandomState(21)
+    b, t, c = 3, 12, 5
+    logits = jnp.asarray(rng.randn(b, t, c).astype(np.float32) * 2)
+    lengths = jnp.asarray(np.array([12, 8, 5], np.int32))
+    pal = DeviceBeamDecoder(ABC, beam_width=6, word_lm=lm, alpha=1.2,
+                            beta=0.5, impl="pallas")
+    xla = DeviceBeamDecoder(ABC, beam_width=6, word_lm=lm, alpha=1.2,
+                            beta=0.5, impl="xla")
+    assert pal._use_pallas()
+    got_p = pal.decode_nbest(logits, lengths)
+    assert pal._word_wide is not None  # the wide path actually ran
+    got_x = xla.decode_nbest(logits, lengths)
+    for i in range(b):
+        assert [r[0] for r in got_p[i]] == [r[0] for r in got_x[i]], (
+            i, got_p[i], got_x[i])
+        for rp, rx in zip(got_p[i], got_x[i]):
+            np.testing.assert_allclose(rp[1], rx[1], rtol=2e-4, atol=2e-4)
+
+
+def test_kernel_word_lm_wide_order2(monkeypatch):
+    from tpuasr.decode.lm import train_ngram
+
+    monkeypatch.setattr(DeviceBeamDecoder, "MAX_KERNEL_WORD_CAP", 2)
+    lm = train_ngram(["AB C", "C AB AB"] * 2, order=2)
+    rng = np.random.RandomState(22)
+    logits = jnp.asarray(rng.randn(2, 9, 5).astype(np.float32) * 2)
+    lengths = jnp.asarray(np.array([9, 6], np.int32))
+    pal = DeviceBeamDecoder(ABC, beam_width=5, word_lm=lm, alpha=0.8,
+                            beta=0.3, impl="pallas")
+    xla = DeviceBeamDecoder(ABC, beam_width=5, word_lm=lm, alpha=0.8,
+                            beta=0.3, impl="xla")
+    assert pal.decode(logits, lengths) == xla.decode(logits, lengths)
+
+
+def test_wide_bytes_gate():
+    """A word LM whose wide tables exceed the VMEM budget falls back
+    to the XLA path under impl='auto'."""
+    from tpuasr.decode.lm import train_ngram
+
+    lm = train_ngram(["AB C AB", "C AB"] * 2, order=2)
+    dec = DeviceBeamDecoder(ABC, beam_width=4, word_lm=lm, alpha=0.5,
+                            impl="auto")
+    dec.MAX_KERNEL_WORD_CAP = 2
+    dec.MAX_WIDE_BYTES = 16  # force the gate
+    assert dec._kernel_lm_ineligible() is not None

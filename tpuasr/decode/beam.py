@@ -123,6 +123,85 @@ class HashedTables(NamedTuple):
     n_probes: int
 
 
+WIDE_LANES = 256  # each row duplicates 2x128 consecutive (mod cap) slots
+WIDE_PLANES = 14  # k1 b0..3, k2 b0..3, logp hi/mid/lo, backoff hi/mid/lo
+
+
+class WideTables(NamedTuple):
+    """Block-fetch layout of ``HashedTables`` for the in-kernel
+    LARGE-vocabulary word-LM path (ops/beam.py `_wprobe_wide`).
+
+    Mosaic has no gathers, so the kernel fetches each query's probe
+    window with ONE one-hot MXU matmul per order: row r of ``rows[k]``
+    holds the 256 consecutive (mod cap) slots starting at 128*r —
+    every 8-slot linear-probe window starting in [128r, 128r+128) lies
+    inside row r, so `slot >> 7` names the row and `slot & 127` the
+    lane offset. Values ship as bf16 planes that reconstruct exactly
+    on fetch: uint32 keys as 4 byte planes (integers <= 255 are exact
+    in bf16; compared per plane, never recombined), f32 logps/backoffs
+    as 3-way hi/mid/lo bf16 splits (~2^-24 relative, cf. the two-hot
+    char table). Slot layout and cap are IDENTICAL to the source
+    HashedTables (already power-of-two via _pack_table), so scores
+    match the XLA hash-probe path."""
+
+    rows: tuple  # per order: (R_k, WIDE_PLANES * WIDE_LANES) bf16
+    caps: tuple  # per order: python int, power of two
+    order: int
+    n_probes: int
+
+
+def _split3(x: np.ndarray) -> list:
+    """f32 -> three bf16-representable f32 planes summing to x with
+    ~2^-24 relative error (hi/mid exact bf16 values)."""
+    import ml_dtypes
+
+    bf = ml_dtypes.bfloat16
+    x = np.asarray(x, np.float32)
+    hi = x.astype(bf).astype(np.float32)
+    r = x - hi
+    mid = r.astype(bf).astype(np.float32)
+    lo = (r - mid).astype(bf).astype(np.float32)
+    return [hi, mid, lo]
+
+
+def build_wide_word_tables(tables: HashedTables) -> WideTables:
+    """HashedTables -> WideTables (host, once per decoder)."""
+    rows, caps = [], []
+    for k in range(tables.order):
+        k1 = np.asarray(tables.keys1[k]).astype(np.uint32)
+        k2 = np.asarray(tables.keys2[k]).astype(np.uint32)
+        lp = np.asarray(tables.logps[k], np.float32)
+        bo = np.asarray(tables.backoffs[k], np.float32)
+        cap = int(k1.shape[0])
+        if cap & (cap - 1):
+            raise ValueError(f"table cap {cap} not a power of two")
+        r_k = max(cap // 128, 1)
+        idx = (np.arange(r_k)[:, None] * 128
+               + np.arange(WIDE_LANES)[None, :]) % cap  # (R, 256)
+        planes = []
+        for arr in (k1, k2):
+            for i in range(4):
+                planes.append(((arr >> np.uint32(8 * i))
+                               & np.uint32(0xFF)).astype(np.float32))
+        planes += _split3(lp) + _split3(bo)
+        wide = np.stack([p[idx] for p in planes], axis=1)  # (R, P, 256)
+        rows.append(jnp.asarray(
+            wide.reshape(r_k, WIDE_PLANES * WIDE_LANES), jnp.bfloat16
+        ))
+        caps.append(cap)
+    return WideTables(tuple(rows), tuple(caps), tables.order,
+                      tables.n_probes)
+
+
+def wide_tables_bytes(tables: HashedTables) -> int:
+    """VMEM footprint of build_wide_word_tables(tables)."""
+    return sum(
+        max(int(np.asarray(k).shape[0]) // 128, 1) * WIDE_PLANES
+        * WIDE_LANES * 2
+        for k in tables.keys1
+    )
+
+
 class BeamState(NamedTuple):
     """Per-beam device state. Prefixes are NOT materialized on device:
     each frame emits (parent, appended char) backpointers as scan
@@ -160,6 +239,10 @@ def _probe(tables: HashedTables, k: int, h1, h2):
     probes = jnp.arange(tables.n_probes, dtype=jnp.int32)
     idx = (slot[..., None] + probes) % cap  # (..., P)
     hit = (keys1[idx] == h1[..., None]) & (keys2[idx] == h2[..., None])
+    # empty slots store (0, 0); an all-zeros query key (empty word /
+    # blank ngram) would otherwise "hit" every empty slot in the probe
+    # window and sum k*NEG — mask them out, mirroring ops/beam._wprobe
+    hit &= (keys1[idx] != 0) | (keys2[idx] != 0)
     found = jnp.any(hit, axis=-1)
     val = jnp.where(
         found, jnp.sum(jnp.where(hit, tables.logps[k][idx], 0.0), axis=-1),
@@ -588,6 +671,9 @@ class DeviceBeamDecoder:
             raise ValueError(f"impl must be auto|pallas|xla, got {impl!r}")
         self.impl = impl
         self.alphabet = alphabet
+        # raw LM objects kept for host fallbacks (long-form decode)
+        self.char_lm = char_lm
+        self.word_lm = word_lm
         self._lm_tables = (
             pack_lm_tables(char_lm, alphabet) if char_lm is not None else None
         )
@@ -608,10 +694,12 @@ class DeviceBeamDecoder:
         self._cache = {}
         self._dense_char_table: dict = {}  # n_class -> (table, k_ctx)
 
-    # in-kernel word-LM probing is a full-table compare per beam; caps
-    # beyond this make the per-frame VPU work dominate — bigger LMs
-    # decode on the XLA path (hash-probe gathers)
+    # in-kernel word-LM probing: caps up to this use the full-table
+    # compare (cheapest, zero extra build); bigger tables use the
+    # block-fetch MXU path (WideTables) up to MAX_WIDE_BYTES of VMEM;
+    # beyond that the XLA hash-probe path decodes
     MAX_KERNEL_WORD_CAP = 8192
+    MAX_WIDE_BYTES = 64 * 1024 * 1024
 
     def _kernel_lm_ineligible(self) -> str | None:
         """Why the fused kernel cannot fuse this decoder's LM (None =
@@ -622,8 +710,11 @@ class DeviceBeamDecoder:
                 return f"word-LM order {wt.order} > 3"
             caps = [int(k.shape[0]) for k in wt.keys1]
             if any(c > self.MAX_KERNEL_WORD_CAP for c in caps):
-                return (f"word-LM table caps {caps} exceed "
-                        f"{self.MAX_KERNEL_WORD_CAP}")
+                nbytes = wide_tables_bytes(wt)
+                if nbytes > self.MAX_WIDE_BYTES:
+                    return (f"word-LM wide tables need {nbytes >> 20} MiB "
+                            f"VMEM > {self.MAX_WIDE_BYTES >> 20} MiB "
+                            f"(caps {caps})")
         if self._lm_tables is not None:
             from tpuasr.ops.beam import CTX_SHIFT
 
@@ -681,6 +772,20 @@ class DeviceBeamDecoder:
             )
         if (self._word_tables is not None
                 and self.cfg.space_id is not None):
+            caps = [int(k.shape[0]) for k in self._word_tables.keys1]
+            if any(c > self.MAX_KERNEL_WORD_CAP for c in caps):
+                # large-vocabulary path: block-fetch matrices, built
+                # once per decoder (round-3: gets 50k+-entry word LMs
+                # off the slow XLA hash-probe path)
+                if getattr(self, "_word_wide", None) is None:
+                    self._word_wide = build_wide_word_tables(
+                        self._word_tables
+                    )
+                return dict(
+                    word_wide_tables=self._word_wide,
+                    alpha=self.cfg.alpha, beta=self.cfg.beta,
+                    space_id=self.cfg.space_id,
+                )
             return dict(
                 word_tables=self._word_tables,
                 alpha=self.cfg.alpha, beta=self.cfg.beta,
@@ -737,6 +842,24 @@ class DeviceBeamDecoder:
         lead = len(raw) - len(raw.lstrip())
         kept = len(raw.strip())
         return raw.strip(), frames[lead:lead + kept]
+
+    # -- public surface for external runners (decode/resident_eval.py) --
+
+    def kernel_eligible(self) -> bool:
+        """True when this decoder's whole search (incl. any LM fusion)
+        runs in the fused Pallas kernel — the precondition for the
+        resident eval-in-a-scan runner."""
+        return self._use_pallas()
+
+    def kernel_lm_kwargs(self, n_class: int) -> dict:
+        """LM-fusion kwargs for ops.beam.beam_scan_pallas, derived from
+        this decoder's configuration (single source of truth)."""
+        return self._kernel_lm_kwargs(n_class)
+
+    def readout(self, store_row, toff_row, n):
+        """Backtracked id/frame rows -> (stripped text, aligned
+        offsets); the host half of any packed-kernel readout."""
+        return self._readout(store_row, toff_row, n)
 
     def decode(self, logits, lengths, return_offsets: bool = False):
         store, toff, blen, _ = self._run(logits, lengths,

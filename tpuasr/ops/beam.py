@@ -69,7 +69,8 @@ CTX_SHIFT = 6
 
 def _beam_kernel(lp_ref, len_ref, *rest, time_chunk, beam_width,
                  blank_id, cutoff_top_n, cutoff_prob, prune_logp,
-                 char_lm=False, word_lm=False, w_order=0, ring_len=0,
+                 char_lm=False, word_lm=False, word_wide=False,
+                 wide_caps=(), n_probes=8, w_order=0, ring_len=0,
                  alpha=0.0, beta=0.0, space_id=None, ctx_len=0):
     rest = list(rest)
     if char_lm:
@@ -81,7 +82,10 @@ def _beam_kernel(lp_ref, len_ref, *rest, time_chunk, beam_width,
         # 7.7 vs the XLA path); looking up hi and lo in ONE dot via a
         # two-hot row vector recovers f32-accurate scores
         r_num = lmtab_ref.shape[0] // 2
-    if word_lm:
+    if word_lm and word_wide:
+        # per-order ONE (R_k, WIDE_PLANES*256) bf16 block-fetch matrix
+        wtabs = [rest.pop(0) for _ in range(w_order)]
+    elif word_lm:
         # per-order (1, cap) rows: keys1, keys2, logps, backoffs
         wtabs = [tuple(rest.pop(0) for _ in range(4))
                  for _ in range(w_order)]
@@ -123,6 +127,66 @@ def _beam_kernel(lp_ref, len_ref, *rest, time_chunk, beam_width,
         val = jnp.where(found, jnp.concatenate(v_cols, axis=1), NEG)
         bo = jnp.concatenate(b_cols, axis=1)
         return found, val, bo
+
+    def _wprobe_wide(k, q1, q2):
+        """Large-table probe: fetch each query's 8-slot linear-probe
+        window with ONE one-hot MXU matmul over the block-fetch matrix
+        (decode.beam.WideTables), then compare the 4+4 key byte planes
+        per lane. Same slots as the XLA `_probe` (identical layout and
+        pow2 cap), so found/val/bo match it; logp/backoff reconstruct
+        from 3-way bf16 splits (~2^-24 relative)."""
+        tab = wtabs[k]  # (R, 14*256) bf16
+        cap = wide_caps[k]
+        r_k = tab.shape[0]
+        lanes = 256
+        slot = q1 & jnp.uint32(cap - 1)  # (B, W)
+        as_i32 = lambda u: jax.lax.bitcast_convert_type(u, jnp.int32)  # noqa: E731
+        row = as_i32(slot >> jnp.uint32(7))
+        off = as_i32(slot & jnp.uint32(127))
+        iota_r = jax.lax.broadcasted_iota(jnp.int32, (b, r_k), 1)
+        oh = jnp.concatenate(
+            [(row[:, j:j + 1] == iota_r).astype(jnp.bfloat16)
+             for j in range(w)],
+            axis=0,
+        )  # (W*B, R) — beams stacked on the sublane axis
+        fetched = jnp.dot(oh, tab[:],
+                          preferred_element_type=jnp.float32)  # (W*B, 14L)
+        planes = [fetched[:, p * lanes:(p + 1) * lanes] for p in range(14)]
+
+        def stack(x):  # (B, W) -> (W*B, 1) in the same beam-major order
+            return jnp.concatenate([x[:, j:j + 1] for j in range(w)], axis=0)
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (b * w, lanes), 1)
+        offs = stack(off)
+        hit = (lane >= offs) & (lane < offs + n_probes)
+        for i in range(4):
+            qb1 = as_i32((q1 >> jnp.uint32(8 * i)) & jnp.uint32(0xFF)
+                         ).astype(jnp.float32)
+            qb2 = as_i32((q2 >> jnp.uint32(8 * i)) & jnp.uint32(0xFF)
+                         ).astype(jnp.float32)
+            hit = hit & (planes[i] == stack(qb1)) \
+                      & (planes[4 + i] == stack(qb2))
+        # empty slots have all-zero key bytes (byte planes are >= 0)
+        nz = (planes[0] + planes[1] + planes[2] + planes[3]
+              + planes[4] + planes[5] + planes[6] + planes[7]) > 0.0
+        hitf = jnp.where(hit & nz, 1.0, 0.0)
+        lp_sum = planes[8] + planes[9] + planes[10]
+        bo_sum = planes[11] + planes[12] + planes[13]
+        f_flat = jnp.sum(hitf, axis=1, keepdims=True)  # (W*B, 1)
+        v_flat = jnp.sum(hitf * lp_sum, axis=1, keepdims=True)
+        b_flat = jnp.sum(hitf * bo_sum, axis=1, keepdims=True)
+
+        def unstack(x):  # (W*B, 1) -> (B, W)
+            return jnp.concatenate(
+                [x[j * b:(j + 1) * b] for j in range(w)], axis=1
+            )
+
+        found = unstack(f_flat) > 0.0
+        val = jnp.where(found, unstack(v_flat), NEG)
+        return found, val, unstack(b_flat)
+
+    if word_wide:
+        _wprobe = _wprobe_wide  # noqa: F811 — swap the probe impl
 
     def _wfold(pairs):
         H1 = jnp.zeros((b, w), jnp.uint32)
@@ -483,6 +547,7 @@ def beam_scan_pallas(logprobs, lengths, *, beam_width, blank_id,
                      cutoff_top_n=40, cutoff_prob=1.0,
                      prune_logp=-20.0, time_chunk=DEFAULT_TIME_CHUNK,
                      char_table=None, ctx_len=0, word_tables=None,
+                     word_wide_tables=None,
                      alpha=0.0, beta=0.0, space_id=None):
     """Fused prefix beam search: no-LM, char-LM (dense table), or
     word-LM (full-table-compare probes; small tables only — the
@@ -509,22 +574,29 @@ def beam_scan_pallas(logprobs, lengths, *, beam_width, blank_id,
         lp = jnp.pad(lp, ((0, t_pad - t), (0, 0), (0, 0)))
     n_chunks = t_pad // time_chunk
     char_lm = char_table is not None
-    word_lm = word_tables is not None
+    word_wide = word_wide_tables is not None
+    word_lm = word_tables is not None or word_wide
+    if word_tables is not None and word_wide:
+        raise ValueError("pass word_tables or word_wide_tables, not both")
     if char_lm and word_lm:
-        raise ValueError("pass char_table or word_tables, not both")
+        raise ValueError("pass char_table or word tables, not both")
     if char_lm and c_num > (1 << CTX_SHIFT):
         raise ValueError(
             f"in-kernel char-LM packs class ids in {CTX_SHIFT} bits; "
             f"n_class={c_num} exceeds {1 << CTX_SHIFT}"
         )
-    w_order = word_tables.order if word_lm else 0
+    w_src = word_wide_tables if word_wide else word_tables
+    w_order = w_src.order if word_lm else 0
     ring_len = max(1, w_order - 1) if word_lm else 0
 
     kern = functools.partial(
         _beam_kernel, time_chunk=time_chunk, beam_width=w,
         blank_id=blank_id, cutoff_top_n=cutoff_top_n,
         cutoff_prob=cutoff_prob, prune_logp=prune_logp,
-        char_lm=char_lm, word_lm=word_lm, w_order=w_order,
+        char_lm=char_lm, word_lm=word_lm, word_wide=word_wide,
+        wide_caps=tuple(word_wide_tables.caps) if word_wide else (),
+        n_probes=w_src.n_probes if word_lm else 8,
+        w_order=w_order,
         ring_len=ring_len, alpha=alpha, beta=beta, space_id=space_id,
         ctx_len=ctx_len,
     )
@@ -552,7 +624,14 @@ def beam_scan_pallas(logprobs, lengths, *, beam_width, blank_id,
             pl.BlockSpec(stacked.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM))
         inputs.append(stacked)
-    if word_lm:
+    if word_wide:
+        for k in range(w_order):
+            mat = word_wide_tables.rows[k]
+            in_specs.append(
+                pl.BlockSpec(mat.shape, lambda i: (0, 0),
+                             memory_space=pltpu.VMEM))
+            inputs.append(mat)
+    elif word_lm:
         for k in range(w_order):
             for arr in (word_tables.keys1[k], word_tables.keys2[k],
                         word_tables.logps[k], word_tables.backoffs[k]):
