@@ -103,70 +103,23 @@ def main(argv=None) -> int:
             out_f.write(json.dumps({"ref": ref, "hyp": hyp},
                                    ensure_ascii=False) + "\n")
 
+    # eval-in-a-scan: whole manifest in one dispatch per bucket (public
+    # API, decode/resident_eval.py); decoders whose search cannot run
+    # in the fused kernel fall through to the per-batch streaming loop
     resident_epoch = None
-    if args.device_resident_audio and args.decoder == "greedy":
-        # eval-in-a-scan: whole manifest in one dispatch per bucket
-        # (forward + greedy best-path on device, strings on host)
-        from tpuasr.train.step import make_resident_eval_runner
+    from tpuasr.decode.resident_eval import (
+        ResidentEvaluator,
+        supports_resident_eval,
+    )
 
-        runner = make_resident_eval_runner(model_cfg, pkg.frontend_config,
-                                           blank_id=alphabet.blank_id)
-
-        def resident_epoch():
-            import jax.numpy as jnp
-
-            for b, bank, idx_mat, n_valid, _vm in loader.bucket_chunks(0):
-                ids, emit, _ol = runner(variables, bank.waves,
-                                        bank.wave_lengths,
-                                        jnp.asarray(idx_mat))
-                ids = np.asarray(ids)
-                emit = np.asarray(emit)
-                texts = loader._texts
-                row_rows = {v: key for key, v in bank.rows.items()}
-                for k in range(idx_mat.shape[0]):
-                    for j in range(int(n_valid[k])):
-                        frames = np.nonzero(emit[k, j])[0]
-                        hyp = alphabet.decode(ids[k, j, frames]).strip()
-                        emit_result(hyp, texts[row_rows[int(idx_mat[k, j])]])
-
-    elif (args.device_resident_audio and args.decoder == "beam-device"
-          and decoder._use_pallas()):
-        # beam-search eval-in-a-scan (fused Pallas kernel + packed
-        # readout; char- and small-table word-LM fusion ride in-kernel)
-        # — only LMs the kernel cannot fuse (big word vocabularies)
-        # fall through to the per-batch loop (_use_pallas False)
-        import jax.numpy as jnp
-
-        from tpuasr.decode.beam import _backtrack, unpack_decode_outputs
-        from tpuasr.train.step import make_resident_beam_eval_runner
-
-        w = args.beam_width
-        lm_kw = decoder._kernel_lm_kwargs(alphabet.size)
-        runner = make_resident_beam_eval_runner(
-            model_cfg, pkg.frontend_config, beam_width=w,
-            blank_id=alphabet.blank_id, cutoff_top_n=args.cutoff_top_n,
-            cutoff_prob=args.cutoff_prob, **lm_kw,
-        )
+    if args.device_resident_audio and supports_resident_eval(
+        decoder, model_cfg.n_classes
+    ):
+        evaluator = ResidentEvaluator(model_cfg, pkg.frontend_config, decoder)
 
         def resident_epoch():
-            import jax.numpy as jnp
-
-            for b, bank, idx_mat, n_valid, _vm in loader.bucket_chunks(0):
-                packed = np.asarray(runner(variables, bank.waves,
-                                           bank.wave_lengths,
-                                           jnp.asarray(idx_mat)))
-                t_cap = (packed.shape[-1] - 2 * w) // w
-                texts = loader._texts
-                row_rows = {v: key for key, v in bank.rows.items()}
-                for k in range(idx_mat.shape[0]):
-                    parents, chars, scores = unpack_decode_outputs(
-                        packed[k], t_cap, w
-                    )
-                    store, toff, blen, _ = _backtrack(parents, chars, scores)
-                    for j in range(int(n_valid[k])):
-                        hyp, _ = decoder._readout(store[j, 0], toff[j, 0],
-                                                  blen[j, 0])
-                        emit_result(hyp, texts[row_rows[int(idx_mat[k, j])]])
+            for hyp, ref in evaluator.pairs(loader, variables):
+                emit_result(hyp, ref)
 
     if resident_epoch is not None:
         for rep in range(max(args.timing_repeats, 1)):

@@ -33,6 +33,10 @@ from tpuasr.labels import Alphabet
 
 @dataclass
 class _BucketBank:
+    """One bucket's HBM bank. ``rows`` (manifest entry index -> bank
+    row) and the arrays are public: external runners
+    (decode/resident_eval.py) consume them via ``bucket_chunks``."""
+
     waves: object  # (N, L_bucket) int16 device array
     wave_lengths: object  # (N,) int32 device array
     labels: object  # (N, L_cap) int32 device array
@@ -73,7 +77,7 @@ class ResidentBatchLoader:
         for i, e in enumerate(plan.entries):
             by_bucket.setdefault(spec.bucket_of(e.duration), []).append(i)
 
-        self._texts = [e.read_transcript() for e in plan.entries]
+        self.texts = [e.read_transcript() for e in plan.entries]
         self.banks: dict = {}
         for b, idxs in by_bucket.items():
             l_bucket = spec.bucket_samples(b)
@@ -94,7 +98,7 @@ class ResidentBatchLoader:
                 m = min(len(w), l_bucket)
                 waves[r, :m] = w[:m]
                 wl[r] = m
-                ids = alphabet.encode(self._texts[i])
+                ids = alphabet.encode(self.texts[i])
                 if len(ids) > l_cap:
                     reader._overflow("label", e.wav_path, len(ids), l_cap)
                     ids = ids[:l_cap]
@@ -145,8 +149,8 @@ class ResidentBatchLoader:
                 label_lengths=ll,
                 valid=self._valid[n_real],
                 bucket=pb.bucket,
-                texts=[self._texts[i] for i in pb.indices]
-                + [self._texts[pb.indices[-1]]] * (bsz - n_real),
+                texts=[self.texts[i] for i in pb.indices]
+                + [self.texts[pb.indices[-1]]] * (bsz - n_real),
                 n_valid=n_real,
             )
 

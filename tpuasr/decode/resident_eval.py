@@ -1,0 +1,132 @@
+"""Public eval-in-a-scan API over a device-resident corpus.
+
+Reference parity: ref:test.py's batch eval loop (SURVEY.md §4.3), but
+whole-corpus: one device dispatch runs forward + decode for a full
+bucket schedule (BASELINE.md: 2153 utt/s greedy / 1308 beam vs ~100-190
+streaming). Round-3 refactor: this plumbing used to live inline in
+cli/test.py reaching into decoder/loader privates; it is now the one
+public entry point (round-2 VERDICT weak #4).
+
+Supported decoders: ``GreedyDecoder`` and any ``DeviceBeamDecoder``
+whose search runs fully in the fused Pallas kernel
+(``decoder.kernel_eligible()``); other decoders (host beams, LMs the
+kernel cannot fuse) use the per-batch streaming loop.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from tpuasr.audio.frontend import FrontendConfig
+from tpuasr.model.ds2 import ModelConfig
+
+
+def supports_resident_eval(decoder, n_classes: int) -> bool:
+    """Can ``ResidentEvaluator`` drive this decoder?"""
+    from tpuasr.decode.beam import DeviceBeamDecoder, _packable
+    from tpuasr.decode.greedy import GreedyDecoder
+
+    if isinstance(decoder, GreedyDecoder):
+        return True
+    if isinstance(decoder, DeviceBeamDecoder):
+        return (decoder.kernel_eligible()
+                and _packable(decoder.cfg.beam_width, n_classes))
+    return False
+
+
+class ResidentEvaluator:
+    """Whole-corpus scan evaluation: forward + decode, one dispatch per
+    bucket chunk, host work limited to string assembly and scoring.
+
+    Usage::
+
+        ev = ResidentEvaluator(model_cfg, frontend_cfg, decoder)
+        for hyp, ref in ev.pairs(resident_loader, variables):
+            meter.update(hyp, ref)
+    """
+
+    def __init__(self, model_cfg: ModelConfig, frontend_cfg: FrontendConfig,
+                 decoder):
+        from tpuasr.decode.beam import DeviceBeamDecoder
+        from tpuasr.decode.greedy import GreedyDecoder
+        from tpuasr.train.step import (
+            make_resident_beam_eval_runner,
+            make_resident_eval_runner,
+        )
+
+        self.decoder = decoder
+        if isinstance(decoder, GreedyDecoder):
+            self._alphabet = decoder.alphabet
+            self._runner = make_resident_eval_runner(
+                model_cfg, frontend_cfg, blank_id=decoder.alphabet.blank_id
+            )
+            self._mode = "greedy"
+        elif isinstance(decoder, DeviceBeamDecoder):
+            if not decoder.kernel_eligible():
+                raise ValueError(
+                    "resident beam eval needs the fused kernel path; this "
+                    "decoder's LM cannot fuse in-kernel — use the "
+                    "per-batch streaming loop"
+                )
+            cfg = decoder.cfg
+            # every kernel knob derives from decoder.cfg in one place
+            # (incl. prune_logp — round-2 ADVICE #4)
+            self._runner = make_resident_beam_eval_runner(
+                model_cfg, frontend_cfg,
+                beam_width=cfg.beam_width, blank_id=cfg.blank_id,
+                cutoff_top_n=cfg.cutoff_top_n, cutoff_prob=cfg.cutoff_prob,
+                prune_logp=cfg.prune_logp,
+                **decoder.kernel_lm_kwargs(model_cfg.n_classes),
+            )
+            self._beam_width = cfg.beam_width
+            self._mode = "beam"
+        else:
+            raise TypeError(
+                f"no resident eval path for {type(decoder).__name__}"
+            )
+
+    def hyps(self, loader, variables, epoch: int = 0):
+        """Yield (manifest_index, hypothesis) over the loader's corpus."""
+        import jax.numpy as jnp
+
+        for b, bank, idx_mat, n_valid, _vm in loader.bucket_chunks(epoch):
+            row_to_entry = {v: k for k, v in bank.rows.items()}
+            if self._mode == "greedy":
+                ids, emit, _ol = self._runner(
+                    variables, bank.waves, bank.wave_lengths,
+                    jnp.asarray(idx_mat),
+                )
+                ids, emit = np.asarray(ids), np.asarray(emit)
+                for k in range(idx_mat.shape[0]):
+                    for j in range(int(n_valid[k])):
+                        frames = np.nonzero(emit[k, j])[0]
+                        hyp = self._alphabet.decode(ids[k, j, frames]).strip()
+                        yield row_to_entry[int(idx_mat[k, j])], hyp
+            else:
+                from tpuasr.decode.beam import (
+                    _backtrack,
+                    unpack_decode_outputs,
+                )
+
+                packed = np.asarray(self._runner(
+                    variables, bank.waves, bank.wave_lengths,
+                    jnp.asarray(idx_mat),
+                ))
+                w = self._beam_width
+                t_cap = (packed.shape[-1] - 2 * w) // w
+                for k in range(idx_mat.shape[0]):
+                    parents, chars, scores = unpack_decode_outputs(
+                        packed[k], t_cap, w
+                    )
+                    store, toff, blen, _ = _backtrack(parents, chars, scores)
+                    for j in range(int(n_valid[k])):
+                        hyp, _ = self.decoder.readout(
+                            store[j, 0], toff[j, 0], blen[j, 0]
+                        )
+                        yield row_to_entry[int(idx_mat[k, j])], hyp
+
+    def pairs(self, loader, variables, epoch: int = 0):
+        """Yield (hypothesis, reference transcript) per utterance."""
+        texts = loader.texts
+        for i, hyp in self.hyps(loader, variables, epoch):
+            yield hyp, texts[i]
