@@ -31,6 +31,13 @@ def main(argv=None) -> int:
     p.add_argument("--warmup-seconds", type=float, nargs="*", default=[],
                    help="compile these request-duration buckets before "
                    "listening (cold TPU compiles take minutes)")
+    p.add_argument("--long-audio", default="chunk",
+                   choices=["chunk", "reject", "truncate"],
+                   help="requests beyond the bucket ladder: chunked "
+                   "long-form decode (full transcript), reject, or "
+                   "explicit truncation")
+    p.add_argument("--chunk-overlap", type=float, default=2.0,
+                   help="chunk overlap (s) for long-form decode")
     add_decoder_args(p)
     add_runtime_args(p)
     args = p.parse_args(argv)
@@ -43,7 +50,9 @@ def main(argv=None) -> int:
         args.model_path,
         ServeConfig(max_batch=args.max_batch,
                     batch_window_ms=args.batch_window_ms,
-                    warmup_seconds=tuple(args.warmup_seconds)),
+                    warmup_seconds=tuple(args.warmup_seconds),
+                    long_audio=args.long_audio,
+                    chunk_overlap=args.chunk_overlap),
         decoder=decoder,
         rnn_impl=getattr(args, "rnn_impl", None),
     )

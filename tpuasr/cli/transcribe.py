@@ -35,6 +35,9 @@ def main(argv=None) -> int:
     p.add_argument("--audio-path", required=True)
     p.add_argument("--offsets", action="store_true",
                    help="print per-character frame offsets")
+    p.add_argument("--chunk-overlap", type=float, default=2.0,
+                   help="overlap (s) between chunks for audio longer "
+                   "than the bucket ladder")
     add_decoder_args(p)
     add_runtime_args(p)
     args = p.parse_args(argv)
@@ -55,8 +58,32 @@ def main(argv=None) -> int:
 
     wave = load_audio(args.audio_path,
                       expected_sample_rate=pkg.frontend_config.sample_rate)
-    waves = jnp.asarray(wave[None, :])
-    lengths = jnp.asarray(np.array([len(wave)], np.int32))
+
+    # Static shapes, bounded compiles (SURVEY.md §5.7): pad up to the
+    # bucket ladder — one compile per bucket, ever; beyond the ladder,
+    # decode overlapping chunks stitched on host (decode/longform.py).
+    from tpuasr.data.buckets import BucketSpec
+    from tpuasr.decode.longform import (
+        pad_to_ladder,
+        samples_per_frame,
+        transcribe_longform,
+    )
+
+    spec = BucketSpec(sample_rate=pkg.frontend_config.sample_rate)
+    if len(wave) > spec.bucket_samples(spec.n_buckets - 1):
+        text, offsets = transcribe_longform(
+            eval_step, variables, wave, alphabet, spec, decoder,
+            overlap_seconds=args.chunk_overlap,
+            spf=samples_per_frame(pkg.frontend_config),
+        )
+        print(text)
+        if args.offsets:
+            print(" ".join(map(str, offsets)))
+        return 0
+
+    padded, n = pad_to_ladder(np.asarray(wave, np.float32), spec)
+    waves = jnp.asarray(padded[None, :])
+    lengths = jnp.asarray(np.array([n], np.int32))
     logits, out_lengths = eval_step(variables, waves, lengths)
 
     if args.offsets:

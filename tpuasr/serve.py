@@ -37,6 +37,13 @@ class ServeConfig:
     return_offsets: bool = False
     # pad every request up in a fixed bucket ladder -> static shapes
     max_seconds: float = 16.5
+    # audio beyond max_seconds: "chunk" decodes it via overlapping
+    # ladder-sized chunks stitched on host (decode/longform.py — full
+    # transcript, same compiled graphs); "reject" fails the request;
+    # "truncate" clamps to max_seconds (the pre-round-3 behavior, now
+    # opt-in: silent partial transcripts are a correctness bug)
+    long_audio: str = "chunk"
+    chunk_overlap: float = 2.0
     # durations (seconds) whose buckets are compiled at startup, BEFORE
     # the service takes traffic: a cold (bucket, batch) graph compiles
     # for minutes on TPU and would blow through request timeouts if the
@@ -103,10 +110,23 @@ class TranscriptionService:
 
     def transcribe_wave(self, wave: np.ndarray, timeout: float = 60.0):
         """Blocking single-utterance call (thread-safe): enqueue and
-        wait; the worker micro-batches concurrent callers together."""
+        wait; the worker micro-batches concurrent callers together.
+        Audio beyond cfg.max_seconds follows cfg.long_audio
+        (chunk / reject / truncate — never silently truncated)."""
+        cap = int(self.cfg.max_seconds * self.spec.sample_rate)
+        wave = wave.astype(np.float32)
+        if len(wave) > cap:
+            if self.cfg.long_audio == "reject":
+                raise ValueError(
+                    f"audio of {len(wave) / self.spec.sample_rate:.1f}s "
+                    f"exceeds the {self.cfg.max_seconds}s serving cap "
+                    "(long_audio='reject')"
+                )
+            if self.cfg.long_audio == "truncate":
+                wave = wave[:cap]
         done = threading.Event()
         slot: dict = {}
-        self._queue.put((wave.astype(np.float32), slot, done))
+        self._queue.put((wave, slot, done))
         if not done.wait(timeout):
             raise TimeoutError("transcription timed out")
         if "error" in slot:
@@ -160,35 +180,57 @@ class TranscriptionService:
             batch = self._collect()
             if not batch:
                 continue
-            try:
-                waves, slots, dones = zip(*batch)
-                n_max = max(len(w) for w in waves)
-                cap = int(self.cfg.max_seconds * self.spec.sample_rate)
-                b_idx = self.spec.bucket_of(
-                    min(n_max, cap) / self.spec.sample_rate
-                )
-                l_bucket = self.spec.bucket_samples(b_idx)
-                bsz = self.cfg.max_batch  # static batch dim
-                arr = np.zeros((bsz, l_bucket), np.float32)
-                lengths = np.zeros((bsz,), np.int32)
-                for j, w in enumerate(waves):
-                    n = min(len(w), l_bucket)
-                    arr[j, :n] = w[:n]
-                    lengths[j] = n
-                logits, out_lengths = self._eval_step(
-                    self._variables, jnp.asarray(arr), jnp.asarray(lengths)
-                )
-                texts, offsets = self.decoder.decode(
-                    logits, out_lengths, return_offsets=True
-                )
-                for j, (slot, done) in enumerate(zip(slots, dones)):
-                    slot["text"] = texts[j]
-                    slot["offsets"] = np.asarray(offsets[j]).tolist()
-                    done.set()
-            except Exception as exc:  # report, never wedge callers
-                for _, slot, done in batch:
+            cap = int(self.cfg.max_seconds * self.spec.sample_rate)
+            short = [r for r in batch if len(r[0]) <= cap]
+            long_ = [r for r in batch if len(r[0]) > cap]
+            if short:
+                try:
+                    waves, slots, dones = zip(*short)
+                    n_max = max(len(w) for w in waves)
+                    b_idx = self.spec.bucket_of(n_max / self.spec.sample_rate)
+                    l_bucket = self.spec.bucket_samples(b_idx)
+                    bsz = self.cfg.max_batch  # static batch dim
+                    arr = np.zeros((bsz, l_bucket), np.float32)
+                    lengths = np.zeros((bsz,), np.int32)
+                    for j, w in enumerate(waves):
+                        arr[j, : len(w)] = w
+                        lengths[j] = len(w)
+                    logits, out_lengths = self._eval_step(
+                        self._variables, jnp.asarray(arr), jnp.asarray(lengths)
+                    )
+                    texts, offsets = self.decoder.decode(
+                        logits, out_lengths, return_offsets=True
+                    )
+                    for j, (slot, done) in enumerate(zip(slots, dones)):
+                        slot["text"] = texts[j]
+                        slot["offsets"] = np.asarray(offsets[j]).tolist()
+                        done.set()
+                except Exception as exc:  # report, never wedge callers
+                    for _, slot, done in short:
+                        slot["error"] = repr(exc)
+                        done.set()
+            # long-form requests (cfg.long_audio == "chunk"): overlapping
+            # ladder-sized chunks batched through the SAME compiled
+            # (max_batch, bucket) graphs, stitched + decoded on host
+            for wave, slot, done in long_:
+                try:
+                    from tpuasr.decode.longform import (
+                        samples_per_frame,
+                        transcribe_longform,
+                    )
+
+                    text, frames = transcribe_longform(
+                        self._eval_step, self._variables, wave,
+                        self.alphabet, self.spec, self.decoder,
+                        overlap_seconds=self.cfg.chunk_overlap,
+                        batch_size=self.cfg.max_batch,
+                        spf=samples_per_frame(self.frontend_cfg),
+                    )
+                    slot["text"] = text
+                    slot["offsets"] = np.asarray(frames).tolist()
+                except Exception as exc:
                     slot["error"] = repr(exc)
-                    done.set()
+                done.set()
 
 
 def _tree_device(tree):
