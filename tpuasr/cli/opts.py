@@ -39,6 +39,12 @@ def add_model_args(p: argparse.ArgumentParser) -> None:
                    choices=["bfloat16", "float32"])
     p.add_argument("--rnn-impl", default="scan", choices=["scan", "pallas", "pallas2"],
                    help="recurrent time loop: lax.scan or fused Pallas")
+    p.add_argument("--bn-mask-mode", default="masked",
+                   choices=["masked", "reference"],
+                   help="masked: BN stats/RNN carries see true lengths "
+                   "only (default); reference: padding-inclusive "
+                   "reference-family semantics for exact finetune "
+                   "parity with imported torch checkpoints")
 
 
 def add_decoder_args(p: argparse.ArgumentParser) -> None:
@@ -84,6 +90,7 @@ def model_config_from(args, alphabet: Alphabet,
         compute_dtype=jnp.bfloat16 if args.compute_dtype == "bfloat16"
         else jnp.float32,
         rnn_impl=getattr(args, "rnn_impl", "scan"),
+        bn_mask_mode=getattr(args, "bn_mask_mode", "masked") or "masked",
     )
 
 

@@ -72,6 +72,16 @@ class ModelConfig:
     # tpuasr.ops.gru) | "pallas2" (gate-major kernel, tpuasr.ops.gru2)
     # — kernels are bidirectional-GRU only, other configs fall back.
     rnn_impl: str = "scan"
+    # "masked" (default): BN statistics / RNN carries / direction
+    # reversal see only each utterance's true length — the numerically
+    # right thing for padded batches. "reference": padding-INCLUSIVE
+    # semantics exactly like the torch reference family (BN over every
+    # padded position, RNN runs the full padded axis, backward
+    # direction starts from the padding) — opt-in for exact-finetune
+    # parity with imported reference checkpoints (ref:model.py
+    # SequenceWise BN, SURVEY.md:137). True lengths still bound CTC
+    # and decoding.
+    bn_mask_mode: str = "masked"
 
     def to_dict(self) -> dict:
         return {
@@ -87,6 +97,7 @@ class ModelConfig:
             "param_dtype": jnp.dtype(self.param_dtype).name,
             "rnn_unroll": self.rnn_unroll,
             "rnn_impl": self.rnn_impl,
+            "bn_mask_mode": self.bn_mask_mode,
         }
 
     @classmethod
@@ -183,7 +194,11 @@ class MaskedConvBlock(nn.Module):
     param_dtype: Any
 
     @nn.compact
-    def __call__(self, x, lengths, train: bool):
+    def __call__(self, x, lengths, train: bool, mask_lengths=None):
+        """``mask_lengths`` overrides the lengths used for MASKING only
+        (bn_mask_mode="reference" passes full-axis lengths so BN stats
+        include padding, like the reference's BatchNorm2d); ``lengths``
+        always drives the returned length propagation."""
         kt, kf, st, sf, pt, pf = self.spec
         x = nn.Conv(
             features=self.channels,
@@ -195,7 +210,9 @@ class MaskedConvBlock(nn.Module):
             param_dtype=self.param_dtype,
         )(x)
         out_lengths = (lengths + 2 * pt - kt) // st + 1
-        mask = _time_mask(out_lengths, x.shape[1])
+        ml = (out_lengths if mask_lengths is None
+              else (mask_lengths + 2 * pt - kt) // st + 1)
+        mask = _time_mask(ml, x.shape[1])
         x = MaskedBatchNorm(param_dtype=self.param_dtype)(x, mask, train)
         x = jnp.clip(x, 0.0, 20.0)  # HardTanh(0, 20)
         x = x * mask[:, :, None, None].astype(x.dtype)
@@ -473,7 +490,9 @@ class BatchRNN(nn.Module):
     impl: str = "scan"
 
     @nn.compact
-    def __call__(self, x, lengths, train: bool):
+    def __call__(self, x, lengths, train: bool, mask_lengths=None):
+        if mask_lengths is not None:  # bn_mask_mode="reference"
+            lengths = mask_lengths
         mask = _time_mask(lengths, x.shape[1])
         if self.batch_norm:
             x = MaskedBatchNorm(param_dtype=self.param_dtype)(x, mask, train)
@@ -533,14 +552,25 @@ class DeepSpeech2(nn.Module):
         cfg = self.config
         x = feats.astype(cfg.compute_dtype)[:, :, :, None]  # (B, T, F, 1)
         out_lengths = lengths
+        # bn_mask_mode="reference": masking (BN stats, RNN carries,
+        # reversal) sees the FULL padded axis — reference-family
+        # semantics for exact finetune parity. Slots with length 0
+        # (static-batch fill) stay excluded either way.
+        ml = None
+        if cfg.bn_mask_mode == "reference":
+            ml = jnp.where(jnp.asarray(lengths) > 0,
+                           jnp.int32(feats.shape[1]), 0)
         for i, spec in enumerate(CONV_SPECS):
+            kt, _, st, _, pt, _ = spec
             x, out_lengths = MaskedConvBlock(
                 spec=spec,
                 channels=cfg.conv_channels,
                 compute_dtype=cfg.compute_dtype,
                 param_dtype=cfg.param_dtype,
                 name=f"conv{i}",
-            )(x, out_lengths, train)
+            )(x, out_lengths, train, mask_lengths=ml)
+            if ml is not None:
+                ml = (ml + 2 * pt - kt) // st + 1
 
         b, t, f, c = x.shape
         x = x.reshape(b, t, f * c)
@@ -556,7 +586,7 @@ class DeepSpeech2(nn.Module):
                 unroll=cfg.rnn_unroll,
                 impl=cfg.rnn_impl,
                 name=f"rnn{i}",
-            )(x, out_lengths, train)
+            )(x, out_lengths, train, mask_lengths=ml)
 
         if not cfg.bidirectional and cfg.lookahead_context > 0:
             x = Lookahead(
@@ -566,7 +596,7 @@ class DeepSpeech2(nn.Module):
                 name="lookahead",
             )(x)
 
-        mask = _time_mask(out_lengths, x.shape[1])
+        mask = _time_mask(out_lengths if ml is None else ml, x.shape[1])
         x = MaskedBatchNorm(param_dtype=cfg.param_dtype, name="head_bn")(
             x, mask, train
         )
