@@ -7,11 +7,19 @@ and ``NoiseInjection`` (mix a random slice of a random noise file at a
 random level with prob --noise-prob), ref:data/data_loader.py. The
 north star moves all of it on device; this module is that replacement:
 
-  * Speed/tempo: per-utterance random resampling by linear
-    interpolation — a (B, L) gather, pure VPU work fused into the step.
-    (sox "tempo" is pitch-preserving WSOLA; device resampling shifts
-    pitch with rate, i.e. Kaldi-style speed perturbation, which is the
-    standard modern equivalent for ASR augmentation.)
+  * Tempo (default, reference parity): pitch-PRESERVING on-device
+    WSOLA-style overlap-add (``wsola_tempo``) — sox "tempo" semantics.
+    Frames of unmodified waveform are taken at a rate-scaled analysis
+    hop and overlap-added at a fixed synthesis hop with a Hann window;
+    with 50% overlap the shifted window halves sum to exactly 1, so
+    the overlap-add is a reshape + one-frame roll — no scatter. The
+    correlation search of true WSOLA is skipped (fixed hop): at the
+    reference's ±15% tempo range the phase-jump artifacts are inaudible
+    to a CTC model and the math stays pure VPU work.
+  * Speed perturbation (opt-in, ``tempo_mode="resample"`` /
+    --speed-perturb): per-utterance random resampling by linear
+    interpolation — shifts pitch with rate (Kaldi-style), the standard
+    modern ASR alternative.
   * Gain: scalar multiply per utterance ([-6, 8] dB).
   * Noise: a noise bank (all noise WAVs concatenated into one ring
     buffer, uploaded to HBM once) mixed in at a random offset and a
@@ -38,6 +46,10 @@ import numpy as np
 @dataclass(frozen=True)
 class AugmentConfig:
     tempo_gain: bool = True
+    # "wsola": pitch-preserving overlap-add (sox tempo, the reference's
+    # recipe); "resample": linear-interp resampling (pitch shifts with
+    # rate — speed perturbation)
+    tempo_mode: str = "wsola"
     tempo_low: float = 0.85
     tempo_high: float = 1.15
     gain_db_low: float = -6.0
@@ -103,6 +115,81 @@ def speed_and_gain(rng, waves, lengths, cfg: AugmentConfig):
     gain = 10.0 ** (gains_db / 20.0)
     out = out * gain[:, None] * valid.astype(out.dtype)
     return out, new_lengths
+
+
+WSOLA_FRAME = 512  # 32 ms at 16 kHz; synthesis hop = half (50% overlap)
+
+
+def wsola_tempo(rates, waves, lengths, frame: int = WSOLA_FRAME):
+    """Pitch-preserving tempo change by rate (duration x 1/rate).
+
+    Correlation-free WSOLA: analysis frames of ``frame`` samples start
+    at fractional positions k * hop * rate (linear-interp gather);
+    Hann-windowed frames overlap-add at the fixed synthesis hop
+    (frame/2). Because shifted periodic-Hann halves sum to 1, the
+    overlap-add is frame_k[:hop] + frame_{k-1}[hop:] — a reshape and a
+    one-frame roll, no scatter (TPU-friendly; CLAUDE.md masking
+    invariants hold: output beyond the new length is zeroed)."""
+    b, l_max = waves.shape
+    hop = frame // 2
+    k_frames = max(l_max // hop, 1)
+    k_idx = jnp.arange(k_frames, dtype=jnp.float32)
+    starts = k_idx[None, :] * (hop * rates[:, None])  # (B, K)
+    i_idx = jnp.arange(frame, dtype=jnp.float32)
+    pos = starts[:, :, None] + i_idx[None, None, :]  # (B, K, N)
+    lo = jnp.floor(pos).astype(jnp.int32)
+    frac = (pos - lo.astype(jnp.float32)).astype(waves.dtype)
+    hi = jnp.clip(lo + 1, 0, l_max - 1)
+    lo = jnp.clip(lo, 0, l_max - 1)
+
+    def gather(idx):
+        flat = jnp.take_along_axis(waves, idx.reshape(b, -1), axis=1)
+        return flat.reshape(b, k_frames, frame)
+
+    frames = gather(lo) * (1.0 - frac) + gather(hi) * frac
+    # periodic Hann: w[i] + w[i + hop] == 1 exactly
+    w = (0.5 - 0.5 * jnp.cos(2.0 * jnp.pi * jnp.arange(frame) / frame)
+         ).astype(waves.dtype)
+    fw = frames * w[None, None, :]
+    first = fw[:, :, :hop]  # frame k -> output block k
+    second = fw[:, :, hop:]  # frame k -> output block k+1
+    second = jnp.concatenate(
+        [jnp.zeros_like(second[:, :1]), second[:, :-1]], axis=1
+    )
+    acc = (first + second).reshape(b, k_frames * hop)
+    # block 0 has only one window half; renormalize it (clamped: the
+    # very first samples are a deliberate ~hop-sample fade-in)
+    wnorm = jnp.concatenate(
+        [jnp.maximum(w[:hop], 0.5),
+         jnp.ones(((k_frames - 1) * hop,), waves.dtype)]
+    )
+    out = acc / wnorm[None, :]
+    out = jnp.pad(out, ((0, 0), (0, l_max - k_frames * hop)))
+    new_lengths = jnp.minimum(
+        (lengths.astype(jnp.float32) / rates).astype(jnp.int32), l_max
+    )
+    valid = (
+        jnp.arange(l_max, dtype=jnp.int32)[None, :] < new_lengths[:, None]
+    )
+    return out * valid.astype(out.dtype), new_lengths
+
+
+def tempo_and_gain(rng, waves, lengths, cfg: AugmentConfig):
+    """Per-utterance random tempo (WSOLA or resample per
+    cfg.tempo_mode) + gain — the reference's augment_audio_with_sox."""
+    if cfg.tempo_mode == "resample":
+        return speed_and_gain(rng, waves, lengths, cfg)
+    b = waves.shape[0]
+    k_rate, k_gain = jax.random.split(rng)
+    rates = jax.random.uniform(
+        k_rate, (b,), minval=cfg.tempo_low, maxval=cfg.tempo_high
+    )
+    gains_db = jax.random.uniform(
+        k_gain, (b,), minval=cfg.gain_db_low, maxval=cfg.gain_db_high
+    )
+    out, new_lengths = wsola_tempo(rates, waves, lengths)
+    gain = (10.0 ** (gains_db / 20.0)).astype(out.dtype)
+    return out * gain[:, None], new_lengths
 
 
 def inject_noise(rng, waves, lengths, noise_bank, cfg: AugmentConfig):
@@ -177,7 +264,7 @@ class AugmentFn:
         cfg = self.cfg
         k1, k2 = jax.random.split(rng)
         if cfg.tempo_gain:
-            waves, lengths = speed_and_gain(k1, waves, lengths, cfg)
+            waves, lengths = tempo_and_gain(k1, waves, lengths, cfg)
         if self._bank is not None:
             waves = inject_noise(k2, waves, lengths, self._bank, cfg)
         return waves, lengths

@@ -58,7 +58,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-duration", type=float, default=None)
     # augmentation
     p.add_argument("--augment", action="store_true",
-                   help="on-device tempo/gain perturbation")
+                   help="on-device pitch-preserving tempo + gain "
+                   "perturbation (sox-tempo semantics, WSOLA)")
+    p.add_argument("--speed-perturb", action="store_true",
+                   help="tempo via resampling instead of WSOLA "
+                   "(pitch shifts with rate, Kaldi-style); implies "
+                   "--augment")
     p.add_argument("--noise-dir", default=None)
     p.add_argument("--noise-prob", type=float, default=0.4)
     p.add_argument("--noise-min", type=float, default=0.0)
@@ -171,9 +176,11 @@ def main(argv=None) -> int:
                                       prefetch=args.num_workers)
 
     augment_fn = None
-    if args.augment or args.noise_dir or args.spec_augment:
+    if (args.augment or args.speed_perturb or args.noise_dir
+            or args.spec_augment):
         aug_cfg = AugmentConfig(
-            tempo_gain=args.augment,
+            tempo_gain=args.augment or args.speed_perturb,
+            tempo_mode="resample" if args.speed_perturb else "wsola",
             noise_dir=args.noise_dir,
             noise_prob=args.noise_prob,
             noise_min=args.noise_min,
