@@ -13,6 +13,24 @@ from tpuasr.labels import Alphabet
 ABC = Alphabet(labels="_AB C")
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _fresh_native_build():
+    """Rebuild the native library from source before these tests: the
+    .so is untracked (round-3 repo hygiene), and a stale binary must
+    never mask a break of native/ctc_beam.cpp."""
+    import os
+    import subprocess
+
+    import tpuasr.decode.native as native_mod
+
+    subprocess.run(["make", "-C", native_mod._NATIVE_DIR, "clean"],
+                   check=True, capture_output=True)
+    assert not os.path.exists(native_mod._LIB_PATH)
+    subprocess.run(["make", "-C", native_mod._NATIVE_DIR], check=True,
+                   capture_output=True)
+    native_mod._lib = None  # force a re-dlopen of the fresh build
+
+
 def test_native_matches_python_no_lm():
     rng = np.random.RandomState(0)
     b, t, c = 4, 15, 5

@@ -35,14 +35,22 @@ def _load_native():
     if _native_dist is not None:
         return _native_dist
     try:
+        if not os.path.exists(_NATIVE_PATH):
+            # the .so is untracked (built artifact): build on first use
+            import subprocess
+
+            subprocess.run(
+                ["make", "-C", os.path.dirname(_NATIVE_PATH)],
+                check=True, capture_output=True,
+            )
         lib = ctypes.CDLL(_NATIVE_PATH)
         fn = lib.tpuasr_edit_distance
         fn.restype = ctypes.c_int32
         i32p = ctypes.POINTER(ctypes.c_int32)
         fn.argtypes = [i32p, ctypes.c_int32, i32p, ctypes.c_int32]
         _native_dist = fn
-    except (OSError, AttributeError):
-        _native_dist = False  # lib missing or too old: NumPy fallback
+    except Exception:
+        _native_dist = False  # lib missing or unbuildable: NumPy fallback
     return _native_dist
 
 
