@@ -17,25 +17,101 @@ proxy; the north-star target is >= 5x.
 
 from __future__ import annotations
 
+import argparse
 import json
 import time
 
 import numpy as np
 
 REFERENCE_PROXY_UTT_PER_SEC = 15.0  # see BASELINE.md; [L] estimate
-# Default batch = the measured per-chip throughput sweet spot on v5e
-# (BASELINE.md batch-scaling table: 463 utt/s @32, 583 @64, 876 @128).
-# The reference family trained at B=20-32 per GPU (memory-bound); on
-# TPU the hardware-appropriate batch is part of the design. Override
-# with --batch for comparability probes.
-BATCH = 128
-SECONDS = 5.0
 SAMPLE_RATE = 16000
 WARMUP = 2
 ITERS = 10
 
+# Peak dense bf16 TFLOP/s per chip by TPU generation (public numbers;
+# MFU = achieved matmul FLOP/s ÷ this). Keyed on substrings of
+# jax.devices()[0]'s string form; --peak-tflops overrides.
+PEAK_TFLOPS = (
+    ("v5 lite", 197.0),  # v5e
+    ("v5e", 197.0),
+    ("v5p", 459.0),
+    ("v4", 275.0),
+    ("v6", 918.0),  # v6e (Trillium)
+)
 
-def main(mode: str = "train") -> None:
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="tpuasr single-chip benchmark")
+    p.add_argument("--mode", default="train",
+                   choices=["train", "infer", "beam", "beamlm", "beamchar"],
+                   help="train step | greedy inference | device beam "
+                   "(no LM / word LM / char LM)")
+    # Default batch = the measured per-chip throughput sweet spot on v5e
+    # (BASELINE.md batch-scaling table: 463 utt/s @32, 583 @64, 876
+    # @128). The reference family trained at B=20-32 per GPU
+    # (memory-bound); batching to the hardware is the TPU-native design.
+    p.add_argument("--batch", type=int, default=128)
+    p.add_argument("--seconds", type=float, default=5.0,
+                   help="synthetic utterance duration")
+    p.add_argument("--rnn-impl", default="pallas",
+                   choices=["scan", "pallas", "pallas2"])
+    p.add_argument("--rnn-type", default="gru", choices=["gru", "lstm", "rnn"])
+    p.add_argument("--ctc-impl", default="pallas", choices=["scan", "pallas"])
+    p.add_argument("--cutoff-top-n", type=int, default=40,
+                   help="beam modes: per-frame candidate pruning")
+    p.add_argument("--beam-impl", default="auto",
+                   choices=["auto", "pallas", "xla"])
+    p.add_argument("--lm-vocab", type=int, default=0,
+                   help="beamlm mode: synthesize a word LM with this "
+                   "many vocabulary words (0 = the tiny 8-word LM); "
+                   ">= ~3000 routes the kernel onto the block-fetch "
+                   "large-vocabulary path")
+    p.add_argument("--peak-tflops", type=float, default=None,
+                   help="override the per-chip peak bf16 TFLOP/s used "
+                   "for the MFU estimate")
+    return p
+
+
+def _peak_flops(device_str: str, override: float | None) -> float:
+    if override:
+        return override * 1e12
+    s = device_str.lower()
+    for key, tf in PEAK_TFLOPS:
+        if key in s:
+            return tf * 1e12
+    return 197.0e12  # assume v5e (this build's target chip)
+
+
+def forward_flops_per_utt(model_cfg, frontend_cfg, n_samples: int) -> float:
+    """Analytic matmul FLOPs (2*MACs) for ONE utterance's forward pass:
+    conv stack + recurrent stack + head. Frontend DFT and CTC are <1%
+    and excluded; a train step is counted as 3x forward (backward ~ 2x).
+    """
+    from tpuasr.model.ds2 import CONV_SPECS
+
+    hop = int(round(frontend_cfg.window_stride * frontend_cfg.sample_rate))
+    t = 1 + n_samples // hop  # librosa center-padded frame count
+    f = model_cfg.n_features
+    c_in, c_out = 1, model_cfg.conv_channels
+    flops = 0.0
+    for (kt, kf, st, sf, pt, pf) in CONV_SPECS:
+        t_out = (t + 2 * pt - kt) // st + 1
+        f_out = (f + 2 * pf - kf) // sf + 1
+        flops += 2.0 * kt * kf * c_in * c_out * t_out * f_out
+        t, f, c_in = t_out, f_out, c_out
+    rnn_in = f * c_out
+    h = model_cfg.hidden_size
+    n_dir = 2 if model_cfg.bidirectional else 1
+    gates = {"gru": 3, "lstm": 4, "rnn": 1}[model_cfg.rnn_type]
+    for layer in range(model_cfg.hidden_layers):
+        i = rnn_in if layer == 0 else h
+        flops += n_dir * t * gates * 2.0 * (i * h + h * h)
+    flops += 2.0 * h * model_cfg.n_classes * t  # output head
+    return flops
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
     import jax
 
     # Persistent compile cache: the first TPU compile of the full train
@@ -58,54 +134,38 @@ def main(mode: str = "train") -> None:
     from tpuasr.model.ds2 import ModelConfig
     from tpuasr.train.step import TrainConfig, init_train_state, make_train_step
 
+    batch, seconds = args.batch, args.seconds
     alphabet = Alphabet()
     frontend_cfg = FrontendConfig()
-    train_cfg = TrainConfig()
-
-    # Prefer the fused Pallas BiGRU kernel; fall back to lax.scan if the
-    # kernel fails to compile on this runtime. --rnn-impl/--ctc-impl
-    # override for kernel-selection probes.
-    import sys
-
-    argv = sys.argv[1:]
-    rnn_impl = (argv[argv.index("--rnn-impl") + 1]
-                if "--rnn-impl" in argv else "pallas")
-    rnn_type = (argv[argv.index("--rnn-type") + 1]
-                if "--rnn-type" in argv else "gru")
-    ctc_impl = (argv[argv.index("--ctc-impl") + 1]
-                if "--ctc-impl" in argv else "pallas")
-    train_cfg = TrainConfig(ctc_impl=ctc_impl)
+    # Prefer the fused Pallas kernels; train mode falls back to lax.scan
+    # if a kernel fails to compile on this runtime.
+    rnn_impl = args.rnn_impl
+    train_cfg = TrainConfig(ctc_impl=args.ctc_impl)
     model_cfg = ModelConfig(n_classes=alphabet.size, rnn_impl=rnn_impl,
-                            rnn_type=rnn_type)
+                            rnn_type=args.rnn_type)
     state = init_train_state(model_cfg, train_cfg, jax.random.PRNGKey(0))
-    if mode == "infer":
-        _bench_infer(model_cfg, frontend_cfg, state)
+    if args.mode == "infer":
+        _bench_infer(args, model_cfg, frontend_cfg, state)
         return
-    if mode.startswith("beam"):
-        import sys
-
-        argv = sys.argv[1:]
-        cut = int(argv[argv.index("--cutoff-top-n") + 1]) \
-            if "--cutoff-top-n" in argv else 40
-        beam_impl = (argv[argv.index("--beam-impl") + 1]
-                     if "--beam-impl" in argv else "auto")
-        lm_mode = ("word" if "lm" in mode
-                   else "char" if "char" in mode else "none")
-        _bench_beam(model_cfg, frontend_cfg, state, cutoff_top_n=cut,
-                    lm_mode=lm_mode, impl=beam_impl)
+    if args.mode.startswith("beam"):
+        lm_mode = ("word" if "lm" in args.mode
+                   else "char" if "char" in args.mode else "none")
+        _bench_beam(args, model_cfg, frontend_cfg, state,
+                    cutoff_top_n=args.cutoff_top_n, lm_mode=lm_mode,
+                    impl=args.beam_impl)
         return
     train_step = make_train_step(model_cfg, frontend_cfg, train_cfg)
 
-    n = int(SECONDS * SAMPLE_RATE)
+    n = int(seconds * SAMPLE_RATE)
     rng = np.random.RandomState(0)
-    waves = jnp.asarray(rng.randn(BATCH, n).astype(np.float32) * 0.1)
-    wave_lengths = jnp.asarray(np.full((BATCH,), n, np.int32))
-    label_len = int(SECONDS * 14)  # ~14 chars/s
+    waves = jnp.asarray(rng.randn(batch, n).astype(np.float32) * 0.1)
+    wave_lengths = jnp.asarray(np.full((batch,), n, np.int32))
+    label_len = int(seconds * 14)  # ~14 chars/s
     labels = jnp.asarray(
-        rng.randint(1, alphabet.size, size=(BATCH, label_len)).astype(np.int32)
+        rng.randint(1, alphabet.size, size=(batch, label_len)).astype(np.int32)
     )
-    label_lengths = jnp.asarray(np.full((BATCH,), label_len, np.int32))
-    valid = jnp.ones((BATCH,), bool)
+    label_lengths = jnp.asarray(np.full((batch,), label_len, np.int32))
+    valid = jnp.ones((batch,), bool)
     lr = jnp.float32(3e-4)
 
     def one(i):
@@ -128,7 +188,7 @@ def main(mode: str = "train") -> None:
         rnn_impl = "scan"
         train_cfg = TrainConfig()  # scan CTC too
         model_cfg = ModelConfig(n_classes=alphabet.size, rnn_impl=rnn_impl,
-                                rnn_type=rnn_type)
+                                rnn_type=args.rnn_type)
         state = init_train_state(model_cfg, train_cfg, jax.random.PRNGKey(0))
         train_step = make_train_step(model_cfg, frontend_cfg, train_cfg)
         for i in range(WARMUP):
@@ -141,8 +201,10 @@ def main(mode: str = "train") -> None:
     _ = float(m["loss"])  # final state depends on every queued step
     dt = time.perf_counter() - t0
 
-    utt_per_sec = BATCH * ITERS / dt
-    rtf = utt_per_sec * SECONDS  # seconds of audio processed per second
+    utt_per_sec = batch * ITERS / dt
+    rtf = utt_per_sec * seconds  # seconds of audio processed per second
+    step_flops = 3.0 * forward_flops_per_utt(model_cfg, frontend_cfg, n)
+    peak = _peak_flops(str(jax.devices()[0]), args.peak_tflops)
     result = {
         "metric": "ds2_train_utterances_per_sec_per_chip",
         "value": round(utt_per_sec, 3),
@@ -151,22 +213,27 @@ def main(mode: str = "train") -> None:
         "extra": {
             "step_ms": round(1e3 * dt / ITERS, 2),
             "train_rtf": round(rtf, 1),
-            "batch": BATCH,
-            "utt_seconds": SECONDS,
+            "batch": batch,
+            "utt_seconds": seconds,
             "device": str(jax.devices()[0]),
             "rnn_impl": rnn_impl,
-            "rnn_type": rnn_type,
+            "rnn_type": args.rnn_type,
             "loss": float(m["loss"]),
+            # model FLOP utilization: analytic matmul FLOPs (fwd+bwd =
+            # 3x fwd) / wall / peak — visible in every BENCH_r*.json so
+            # perf regressions show up as a ratio, not just utt/s
+            "mfu": round(utt_per_sec * step_flops / peak, 4),
+            "gflop_per_utt_train": round(step_flops / 1e9, 1),
         },
     }
     print(json.dumps(result))
 
 
-def _bench_beam(model_cfg, frontend_cfg, state, cutoff_top_n: int = 40,
+def _bench_beam(args, model_cfg, frontend_cfg, state, cutoff_top_n: int = 40,
                 lm_mode: str = "none", impl: str = "auto") -> None:
     """Config-4 benchmark: on-device beam search (W=10), optionally
-    with word- (XLA fusion) or char- (in-kernel dense-table fusion)
-    n-gram shallow fusion, over the eval forward's logits."""
+    with word- or char-n-gram shallow fusion (in-kernel where eligible),
+    over the eval forward's logits."""
     import jax
     import jax.numpy as jnp
 
@@ -175,20 +242,38 @@ def _bench_beam(model_cfg, frontend_cfg, state, cutoff_top_n: int = 40,
     from tpuasr.labels import Alphabet
     from tpuasr.train.step import make_eval_step
 
+    batch, seconds = args.batch, args.seconds
     alphabet = Alphabet()
     eval_step = make_eval_step(model_cfg, frontend_cfg)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
 
-    n = int(SECONDS * SAMPLE_RATE)
+    n = int(seconds * SAMPLE_RATE)
     rng = np.random.RandomState(0)
-    waves = jnp.asarray(rng.randn(BATCH, n).astype(np.float32) * 0.1)
-    wave_lengths = jnp.asarray(np.full((BATCH,), n, np.int32))
+    waves = jnp.asarray(rng.randn(batch, n).astype(np.float32) * 0.1)
+    wave_lengths = jnp.asarray(np.full((batch,), n, np.int32))
     logits, ol = eval_step(variables, waves, wave_lengths)
     logits.block_until_ready()
 
     word_lm = char_lm = None
     words = ["ALO", "MUNDO", "BOM", "DIA", "TUDO", "BEM", "CASA", "SOM"]
-    if lm_mode == "word":
+    n_entries = None
+    if lm_mode == "word" and args.lm_vocab:
+        # synthetic large-vocabulary LM: every word appears (full
+        # unigram coverage), lines of 6 give ~vocab unique bi/trigrams
+        letters = np.array(list("ABCDEFGHIJKLMNOPQRSTUVWXYZ"))
+        vocab = list({
+            "".join(rng.choice(letters, size=rng.randint(3, 8)))
+            for _ in range(int(args.lm_vocab * 1.2))
+        })[: args.lm_vocab]
+        order = np.arange(len(vocab))
+        rng.shuffle(order)
+        lines = [
+            " ".join(vocab[i] for i in order[s : s + 6])
+            for s in range(0, len(order), 6)
+        ]
+        word_lm = train_ngram(lines, order=3)
+        n_entries = sum(len(t) for t in word_lm.ngrams)
+    elif lm_mode == "word":
         lines = [" ".join(rng.choice(words, size=4)) for _ in range(200)]
         word_lm = train_ngram(lines, order=3)
     elif lm_mode == "char":
@@ -210,7 +295,7 @@ def _bench_beam(model_cfg, frontend_cfg, state, cutoff_top_n: int = 40,
         store, toff, blen, scores = dec._run(logits, ol)
     dt = time.perf_counter() - t0
 
-    utt_per_sec = BATCH * iters / dt
+    utt_per_sec = batch * iters / dt
     result = {
         "metric": "ds2_device_beam_utterances_per_sec_per_chip",
         "value": round(utt_per_sec, 3),
@@ -218,17 +303,19 @@ def _bench_beam(model_cfg, frontend_cfg, state, cutoff_top_n: int = 40,
         "vs_baseline": round(utt_per_sec / REFERENCE_PROXY_UTT_PER_SEC, 3),
         "extra": {
             "batch_ms": round(1e3 * dt / iters, 2),
-            "batch": BATCH,
+            "batch": batch,
             "beam_width": 10,
             "cutoff_top_n": cutoff_top_n,
             "lm": lm_mode,
-            "impl": "pallas" if dec._use_pallas() else "xla",
+            "lm_vocab": args.lm_vocab or None,
+            "lm_entries": n_entries,
+            "impl": "pallas" if dec.kernel_eligible() else "xla",
         },
     }
     print(json.dumps(result))
 
 
-def _bench_infer(model_cfg, frontend_cfg, state) -> None:
+def _bench_infer(args, model_cfg, frontend_cfg, state) -> None:
     """Config-2 benchmark: batched greedy inference with the fused
     frontend (frontend + model fwd + argmax/collapse on device)."""
     import jax
@@ -237,13 +324,14 @@ def _bench_infer(model_cfg, frontend_cfg, state) -> None:
     from tpuasr.decode.greedy import greedy_best_path
     from tpuasr.train.step import make_eval_step
 
+    batch, seconds = args.batch, args.seconds
     eval_step = make_eval_step(model_cfg, frontend_cfg)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
 
-    n = int(SECONDS * SAMPLE_RATE)
+    n = int(seconds * SAMPLE_RATE)
     rng = np.random.RandomState(0)
-    waves = jnp.asarray(rng.randn(BATCH, n).astype(np.float32) * 0.1)
-    wave_lengths = jnp.asarray(np.full((BATCH,), n, np.int32))
+    waves = jnp.asarray(rng.randn(batch, n).astype(np.float32) * 0.1)
+    wave_lengths = jnp.asarray(np.full((batch,), n, np.int32))
 
     def one():
         logits, ol = eval_step(variables, waves, wave_lengths)
@@ -260,7 +348,9 @@ def _bench_infer(model_cfg, frontend_cfg, state) -> None:
     _ = int(jnp.sum(emit))
     dt = time.perf_counter() - t0
 
-    utt_per_sec = BATCH * ITERS / dt
+    utt_per_sec = batch * ITERS / dt
+    fwd_flops = forward_flops_per_utt(model_cfg, frontend_cfg, n)
+    peak = _peak_flops(str(jax.devices()[0]), args.peak_tflops)
     result = {
         "metric": "ds2_greedy_infer_utterances_per_sec_per_chip",
         "value": round(utt_per_sec, 3),
@@ -268,21 +358,14 @@ def _bench_infer(model_cfg, frontend_cfg, state) -> None:
         "vs_baseline": round(utt_per_sec / REFERENCE_PROXY_UTT_PER_SEC, 3),
         "extra": {
             "batch_ms": round(1e3 * dt / ITERS, 2),
-            "infer_rtf": round(utt_per_sec * SECONDS, 1),
-            "batch": BATCH,
-            "utt_seconds": SECONDS,
+            "infer_rtf": round(utt_per_sec * seconds, 1),
+            "batch": batch,
+            "utt_seconds": seconds,
+            "mfu": round(utt_per_sec * fwd_flops / peak, 4),
         },
     }
     print(json.dumps(result))
 
 
 if __name__ == "__main__":
-    import sys
-
-    argv = sys.argv[1:]
-    if "--batch" in argv:  # batch-scaling probes (BASELINE.md)
-        BATCH = int(argv[argv.index("--batch") + 1])
-    mode = "train"
-    if "--mode" in argv:
-        mode = argv[argv.index("--mode") + 1]
-    main(mode)
+    main()
