@@ -60,14 +60,6 @@ def test_dp_matches_single_device():
     assert max(jax.tree.leaves(diffs)) < 1e-5
 
 
-def test_dryrun_multichip_entrypoint():
-    import sys
-    sys.path.insert(0, "/root/repo")
-    import __graft_entry__ as ge
-
-    ge.dryrun_multichip(8)
-
-
 def test_dryrun_multichip_fresh_process():
     """The driver runs dryrun_multichip in a bare interpreter with NO
     conftest — the entry module alone must bootstrap the CPU mesh
