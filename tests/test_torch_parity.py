@@ -369,3 +369,56 @@ def test_load_torch_package(tmp_path):
     )
     np.testing.assert_allclose(np.asarray(ours)[0, : int(out_len[0])],
                                ref[0], rtol=2e-4, atol=2e-4)
+
+
+def test_export_torch_roundtrip(tmp_path):
+    """save_torch_package (round 3) emits a reference-family .pth that
+    (a) loads strict=True into the from-spec torch model with matching
+    logits and (b) round-trips exactly through load_torch_package —
+    migration works in BOTH directions."""
+    from tpuasr.audio.frontend import FrontendConfig
+    from tpuasr.compat.torch_export import save_torch_package
+    from tpuasr.compat.torch_import import load_torch_package
+    from tpuasr.train.checkpoint import CheckpointPackage
+
+    cfg = ModelConfig(n_classes=10, hidden_size=32, hidden_layers=2,
+                      compute_dtype=jnp.float32)
+    model = DeepSpeech2(cfg)
+    variables = model.init_variables(jax.random.PRNGKey(4), t_max=40,
+                                     batch=2)
+    variables = {"params": jax.device_get(variables["params"]),
+                 "batch_stats": jax.device_get(variables["batch_stats"])}
+    pkg = CheckpointPackage(
+        model_config=cfg, frontend_config=FrontendConfig(),
+        labels="_ABCDEFGH ", variables=variables, epoch=3,
+        loss_history=[2.0, 1.0],
+    )
+    pth = str(tmp_path / "exported.pth")
+    save_torch_package(pkg, pth)
+
+    blob = torch.load(pth, map_location="cpu", weights_only=False)
+    tm = _TorchDS2(hidden=32, layers=2, n_class=10)
+    tm.load_state_dict(blob["state_dict"], strict=True)
+    tm.eval()
+
+    rng = np.random.RandomState(6)
+    feats = rng.randn(1, 40, 161).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(feats.transpose(0, 2, 1))[:, None]).numpy()
+    ours, ol = model.apply(
+        jax.tree.map(jnp.asarray, variables), jnp.asarray(feats),
+        jnp.asarray(np.array([40], np.int32)), train=False,
+    )
+    np.testing.assert_allclose(np.asarray(ours)[0, : int(ol[0])], ref[0],
+                               rtol=2e-4, atol=2e-4)
+
+    pkg2 = load_torch_package(pth)
+    assert pkg2.epoch == 3 and pkg2.labels == "_ABCDEFGH "
+    for a, b in zip(jax.tree.leaves(variables["params"]),
+                    jax.tree.leaves(pkg2.variables["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+    for a, b in zip(jax.tree.leaves(variables["batch_stats"]),
+                    jax.tree.leaves(pkg2.variables["batch_stats"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
