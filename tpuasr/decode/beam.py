@@ -797,6 +797,27 @@ class DeviceBeamDecoder:
         logits = jnp.asarray(logits)
         logprobs = jax.nn.log_softmax(logits, axis=-1)
         t_cap, n_class = logits.shape[1], logits.shape[2]
+        # The wide-table kernel stacks beams on the sublane axis
+        # ((W*B, R) one-hot fetch, ops/beam._wprobe_wide); Mosaic
+        # rejects that concat when B is not a multiple of the 8-row
+        # sublane tile. Pad ragged batches up (zero logits, length 1)
+        # and strip the rows after backtracking — cheaper than the
+        # per-beam kernel restructure, whose ~10x bigger unrolled
+        # program never returned from the remote compiler.
+        b_in = logprobs.shape[0]
+        pad_b = 0
+        if self._word_tables is not None and self._use_pallas():
+            caps = [int(k.shape[0]) for k in self._word_tables.keys1]
+            if any(c > self.MAX_KERNEL_WORD_CAP for c in caps):
+                pad_b = -b_in % 8
+        if pad_b:
+            logprobs = jnp.concatenate(
+                [logprobs,
+                 jnp.zeros((pad_b, t_cap, n_class), logprobs.dtype)],
+                axis=0)
+            lengths = jnp.concatenate(
+                [jnp.asarray(lengths, jnp.int32),
+                 jnp.ones((pad_b,), jnp.int32)], axis=0)
         key = (t_cap, n_class)
         if key not in self._cache:
             if self._use_pallas():
@@ -833,7 +854,10 @@ class DeviceBeamDecoder:
             parents, chars, scores = unpack_decode_outputs(
                 np.asarray(out), t_cap, self.cfg.beam_width
             )
-        return _backtrack(parents, chars, scores)
+        res = _backtrack(parents, chars, scores)
+        if pad_b:
+            res = tuple(a[:b_in] for a in res)
+        return res
 
     def _readout(self, store_row, toff_row, n):
         """ids (+frames) -> (stripped text, aligned offsets)."""

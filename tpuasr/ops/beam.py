@@ -144,40 +144,46 @@ def _beam_kernel(lp_ref, len_ref, *rest, time_chunk, beam_width,
         row = as_i32(slot >> jnp.uint32(7))
         off = as_i32(slot & jnp.uint32(127))
         iota_r = jax.lax.broadcasted_iota(jnp.int32, (b, r_k), 1)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (b, lanes), 1)
-        # Per-beam (B, R) @ (R, 14L) fetches: stacking beams on the
-        # SUBLANE axis (one (W*B, R) matmul) trips Mosaic — concat of
-        # (B, 1) columns along axis 0 fails with an offset mismatch on
-        # the non-concat dim (observed on-chip at B=4). W smaller
-        # matmuls are the same MXU FLOPs and keep every concat on the
-        # lane axis, the pattern the rest of the kernel already uses.
-        f_cols, v_cols, b_cols = [], [], []
-        for j in range(w):
-            oh = (row[:, j:j + 1] == iota_r).astype(jnp.bfloat16)  # (B, R)
-            fetched = jnp.dot(oh, tab[:],
-                              preferred_element_type=jnp.float32)  # (B, 14L)
-            planes = [fetched[:, p * lanes:(p + 1) * lanes]
-                      for p in range(14)]
-            offs = off[:, j:j + 1]  # (B, 1)
-            hit = (lane >= offs) & (lane < offs + n_probes)
-            for i in range(4):
-                qb1 = as_i32((q1[:, j:j + 1] >> jnp.uint32(8 * i))
-                             & jnp.uint32(0xFF)).astype(jnp.float32)
-                qb2 = as_i32((q2[:, j:j + 1] >> jnp.uint32(8 * i))
-                             & jnp.uint32(0xFF)).astype(jnp.float32)
-                hit = hit & (planes[i] == qb1) & (planes[4 + i] == qb2)
-            # empty slots have all-zero key bytes (byte planes are >= 0)
-            nz = (planes[0] + planes[1] + planes[2] + planes[3]
-                  + planes[4] + planes[5] + planes[6] + planes[7]) > 0.0
-            hitf = jnp.where(hit & nz, 1.0, 0.0)
-            lp_sum = planes[8] + planes[9] + planes[10]
-            bo_sum = planes[11] + planes[12] + planes[13]
-            f_cols.append(jnp.sum(hitf, axis=1, keepdims=True))
-            v_cols.append(jnp.sum(hitf * lp_sum, axis=1, keepdims=True))
-            b_cols.append(jnp.sum(hitf * bo_sum, axis=1, keepdims=True))
-        found = jnp.concatenate(f_cols, axis=1) > 0.0  # (B, W)
-        val = jnp.where(found, jnp.concatenate(v_cols, axis=1), NEG)
-        return found, val, jnp.concatenate(b_cols, axis=1)
+        oh = jnp.concatenate(
+            [(row[:, j:j + 1] == iota_r).astype(jnp.bfloat16)
+             for j in range(w)],
+            axis=0,
+        )  # (W*B, R) — beams stacked on the sublane axis
+        fetched = jnp.dot(oh, tab[:],
+                          preferred_element_type=jnp.float32)  # (W*B, 14L)
+        planes = [fetched[:, p * lanes:(p + 1) * lanes] for p in range(14)]
+
+        def stack(x):  # (B, W) -> (W*B, 1) in the same beam-major order
+            return jnp.concatenate([x[:, j:j + 1] for j in range(w)], axis=0)
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (b * w, lanes), 1)
+        offs = stack(off)
+        hit = (lane >= offs) & (lane < offs + n_probes)
+        for i in range(4):
+            qb1 = as_i32((q1 >> jnp.uint32(8 * i)) & jnp.uint32(0xFF)
+                         ).astype(jnp.float32)
+            qb2 = as_i32((q2 >> jnp.uint32(8 * i)) & jnp.uint32(0xFF)
+                         ).astype(jnp.float32)
+            hit = hit & (planes[i] == stack(qb1)) \
+                      & (planes[4 + i] == stack(qb2))
+        # empty slots have all-zero key bytes (byte planes are >= 0)
+        nz = (planes[0] + planes[1] + planes[2] + planes[3]
+              + planes[4] + planes[5] + planes[6] + planes[7]) > 0.0
+        hitf = jnp.where(hit & nz, 1.0, 0.0)
+        lp_sum = planes[8] + planes[9] + planes[10]
+        bo_sum = planes[11] + planes[12] + planes[13]
+        f_flat = jnp.sum(hitf, axis=1, keepdims=True)  # (W*B, 1)
+        v_flat = jnp.sum(hitf * lp_sum, axis=1, keepdims=True)
+        b_flat = jnp.sum(hitf * bo_sum, axis=1, keepdims=True)
+
+        def unstack(x):  # (W*B, 1) -> (B, W)
+            return jnp.concatenate(
+                [x[j * b:(j + 1) * b] for j in range(w)], axis=1
+            )
+
+        found = unstack(f_flat) > 0.0
+        val = jnp.where(found, unstack(v_flat), NEG)
+        return found, val, unstack(b_flat)
 
     if word_wide:
         _wprobe = _wprobe_wide  # noqa: F811 — swap the probe impl
