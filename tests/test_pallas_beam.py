@@ -296,3 +296,18 @@ def test_wide_bytes_gate():
     dec.MAX_KERNEL_WORD_CAP = 2
     dec.MAX_WIDE_BYTES = 16  # force the gate
     assert dec._kernel_lm_ineligible() is not None
+
+
+def test_wide_cap_gate():
+    """Per-order caps over MAX_WIDE_CAP (the empirical remote-compiler
+    bound, decode/beam.py) are ineligible for the fused kernel even
+    when the byte budget would allow them."""
+    from tpuasr.decode.lm import train_ngram
+
+    lm = train_ngram(["AB C AB", "C AB"] * 2, order=2)
+    dec = DeviceBeamDecoder(ABC, beam_width=4, word_lm=lm, alpha=0.5,
+                            impl="auto")
+    dec.MAX_KERNEL_WORD_CAP = 2
+    dec.MAX_WIDE_CAP = 4  # below the tiny LM's caps
+    why = dec._kernel_lm_ineligible()
+    assert why is not None and "cap" in why

@@ -694,12 +694,18 @@ class DeviceBeamDecoder:
         self._cache = {}
         self._dense_char_table: dict = {}  # n_class -> (table, k_ctx)
 
-    # in-kernel word-LM probing: caps up to this use the full-table
-    # compare (cheapest, zero extra build); bigger tables use the
-    # block-fetch MXU path (WideTables) up to MAX_WIDE_BYTES of VMEM;
-    # beyond that the XLA hash-probe path decodes
+    # in-kernel word-LM probing: caps up to MAX_KERNEL_WORD_CAP use the
+    # full-table compare (cheapest, zero extra build); bigger tables
+    # use the block-fetch MXU path (WideTables) while every per-order
+    # cap stays <= MAX_WIDE_CAP; beyond that the XLA hash-probe path
+    # decodes. The wide cap is an empirical remote-compiler bound, not
+    # a VMEM one: caps of 131072 (14 MiB/table, 21 MiB total) compile
+    # and run on v5e, while 262144 (R=2048 fetch rows, 42 MiB total —
+    # still under the kernel's 100 MiB vmem_limit) reproducibly killed
+    # the compile helper twice with no error returned (2026-08-17).
     MAX_KERNEL_WORD_CAP = 8192
-    MAX_WIDE_BYTES = 64 * 1024 * 1024
+    MAX_WIDE_CAP = 131072
+    MAX_WIDE_BYTES = 32 * 1024 * 1024
 
     def _kernel_lm_ineligible(self) -> str | None:
         """Why the fused kernel cannot fuse this decoder's LM (None =
@@ -710,6 +716,10 @@ class DeviceBeamDecoder:
                 return f"word-LM order {wt.order} > 3"
             caps = [int(k.shape[0]) for k in wt.keys1]
             if any(c > self.MAX_KERNEL_WORD_CAP for c in caps):
+                if any(c > self.MAX_WIDE_CAP for c in caps):
+                    return (f"word-LM table cap over {self.MAX_WIDE_CAP} "
+                            f"(caps {caps}); the block-fetch kernel is "
+                            f"gated at R=1024 fetch rows per order")
                 nbytes = wide_tables_bytes(wt)
                 if nbytes > self.MAX_WIDE_BYTES:
                     return (f"word-LM wide tables need {nbytes >> 20} MiB "

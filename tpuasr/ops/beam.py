@@ -135,6 +135,16 @@ def _beam_kernel(lp_ref, len_ref, *rest, time_chunk, beam_width,
         per lane. Same slots as the XLA `_probe` (identical layout and
         pow2 cap), so found/val/bo match it; logp/backoff reconstruct
         from 3-way bf16 splits (~2^-24 relative)."""
+        # Mosaic layout rule learned on-chip: NEVER concatenate raw
+        # (B, 1) column slices along the sublane axis — slice j keeps
+        # lane offset {0,j} and tpu.concatenate requires equal offsets
+        # on the non-concat dim ("result/input offset mismatch",
+        # regardless of B). Every sublane concat below therefore takes
+        # full-width (B, lanes) blocks whose (B, 1) operands were
+        # broadcast INSIDE the block (broadcasts normalize the
+        # offset); (W*B, 1) -> (B, W) goes back via lane-axis concats
+        # of offset-clean sublane slices (b is a multiple of 8 —
+        # decode.beam pads ragged batches).
         tab = wtabs[k]  # (R, 14*256) bf16
         cap = wide_caps[k]
         r_k = tab.shape[0]
@@ -153,19 +163,23 @@ def _beam_kernel(lp_ref, len_ref, *rest, time_chunk, beam_width,
                           preferred_element_type=jnp.float32)  # (W*B, 14L)
         planes = [fetched[:, p * lanes:(p + 1) * lanes] for p in range(14)]
 
-        def stack(x):  # (B, W) -> (W*B, 1) in the same beam-major order
-            return jnp.concatenate([x[:, j:j + 1] for j in range(w)], axis=0)
-
-        lane = jax.lax.broadcasted_iota(jnp.int32, (b * w, lanes), 1)
-        offs = stack(off)
-        hit = (lane >= offs) & (lane < offs + n_probes)
+        lane_b = jax.lax.broadcasted_iota(jnp.int32, (b, lanes), 1)
+        hit = jnp.concatenate(
+            [(lane_b >= off[:, j:j + 1])
+             & (lane_b < off[:, j:j + 1] + n_probes) for j in range(w)],
+            axis=0,
+        )  # (W*B, lanes)
         for i in range(4):
             qb1 = as_i32((q1 >> jnp.uint32(8 * i)) & jnp.uint32(0xFF)
-                         ).astype(jnp.float32)
+                         ).astype(jnp.float32)  # (B, W)
             qb2 = as_i32((q2 >> jnp.uint32(8 * i)) & jnp.uint32(0xFF)
                          ).astype(jnp.float32)
-            hit = hit & (planes[i] == stack(qb1)) \
-                      & (planes[4 + i] == stack(qb2))
+            hit = hit & jnp.concatenate(
+                [(planes[i][j * b:(j + 1) * b] == qb1[:, j:j + 1])
+                 & (planes[4 + i][j * b:(j + 1) * b] == qb2[:, j:j + 1])
+                 for j in range(w)],
+                axis=0,
+            )
         # empty slots have all-zero key bytes (byte planes are >= 0)
         nz = (planes[0] + planes[1] + planes[2] + planes[3]
               + planes[4] + planes[5] + planes[6] + planes[7]) > 0.0
