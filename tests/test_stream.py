@@ -1,0 +1,149 @@
+"""Streaming transcriber vs the offline model (tpuasr/stream.py).
+
+The streaming step must reproduce the offline unidirectional model
+exactly: same parameters, same masking semantics, chunk-carried state.
+With normalize=False the logits are required to match to f32
+tolerance for ANY feed granularity; greedy text must match always.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from tpuasr.audio.frontend import FrontendConfig, log_spectrogram
+from tpuasr.decode.greedy import GreedyDecoder
+from tpuasr.labels import Alphabet
+from tpuasr.model.ds2 import DeepSpeech2, ModelConfig
+from tpuasr.stream import StreamingTranscriber
+
+ABC = Alphabet(labels="_ AB")
+
+
+def _setup(rnn_type="gru", lookahead=4, normalize=False, seed=0):
+    cfg = ModelConfig(
+        n_classes=ABC.size, hidden_size=32, hidden_layers=2,
+        rnn_type=rnn_type, bidirectional=False,
+        lookahead_context=lookahead, compute_dtype=jnp.float32,
+    )
+    fe = FrontendConfig(normalize=normalize)
+    model = DeepSpeech2(cfg)
+    import jax
+
+    variables = model.init_variables(jax.random.PRNGKey(seed), t_max=32)
+    # non-trivial running stats so eval-mode BN actually transforms
+    rng = np.random.RandomState(seed + 1)
+    stats = jax.tree.map(
+        lambda a: jnp.asarray(
+            np.abs(rng.randn(*a.shape)).astype(np.float32) + 0.5),
+        variables["batch_stats"])
+    return cfg, fe, model, {"params": variables["params"],
+                            "batch_stats": stats}
+
+
+def _offline(model, variables, fe, wave):
+    feats, flen = log_spectrogram(
+        jnp.asarray(wave[None, :]), jnp.asarray([len(wave)], np.int32), fe)
+    logits, out_len = model.apply(variables, feats, flen, train=False)
+    return np.asarray(logits)[0], int(out_len[0])
+
+
+@pytest.mark.parametrize("rnn_type,lookahead",
+                         [("gru", 4), ("lstm", 4), ("gru", 0), ("rnn", 3)])
+def test_stream_matches_offline(rnn_type, lookahead):
+    cfg, fe, model, variables = _setup(rnn_type, lookahead)
+    rng = np.random.RandomState(7)
+    wave = (rng.randn(21000) * 0.1).astype(np.float32)
+    ref_logits, t1 = _offline(model, variables, fe, wave)
+
+    st = StreamingTranscriber(variables, cfg, fe, ABC, chunk_frames=16,
+                              collect_logits=True)
+    for i in range(0, len(wave), 777):  # deliberately ragged feeds
+        st.feed(wave[i:i + 777])
+    st.flush()
+    got = st.logits()
+    assert got.shape[0] == t1, (got.shape, t1)
+    np.testing.assert_allclose(got, ref_logits[:t1], atol=2e-4, rtol=2e-4)
+
+    ref_text = GreedyDecoder(ABC).decode(
+        ref_logits[None], np.array([t1], np.int32))[0]
+    assert st.text == ref_text
+
+
+def test_stream_chunk_size_invariant():
+    cfg, fe, model, variables = _setup("gru", 4, seed=3)
+    rng = np.random.RandomState(11)
+    wave = (rng.randn(14321) * 0.2).astype(np.float32)
+    ref_logits, t1 = _offline(model, variables, fe, wave)
+    for chunk_frames in (16, 32):
+        st = StreamingTranscriber(variables, cfg, fe, ABC,
+                                  chunk_frames=chunk_frames,
+                                  collect_logits=True)
+        st.feed(wave)
+        st.flush()
+        got = st.logits()
+        assert got.shape[0] == t1
+        np.testing.assert_allclose(got, ref_logits[:t1], atol=2e-4,
+                                   rtol=2e-4)
+
+
+def test_stream_causal_normalize_smoke():
+    """normalize=True streams with CAUSAL statistics — not offline-
+    identical by definition, but shapes/termination/decoding must
+    work and late-stream logits should correlate with offline."""
+    cfg, fe, model, variables = _setup("gru", 4, normalize=True, seed=5)
+    rng = np.random.RandomState(13)
+    wave = (rng.randn(19000) * 0.2).astype(np.float32)
+    ref_logits, t1 = _offline(model, variables, fe, wave)
+    st = StreamingTranscriber(variables, cfg, fe, ABC, chunk_frames=16,
+                              collect_logits=True)
+    st.feed(wave)
+    st.flush()
+    assert st.logits().shape == (t1, ABC.size)
+
+
+def test_stream_rejects_bidirectional():
+    cfg, fe, model, variables = _setup("gru", 4)
+    bad = ModelConfig(n_classes=ABC.size, hidden_size=32, hidden_layers=2,
+                      bidirectional=True, compute_dtype=jnp.float32)
+    with pytest.raises(ValueError, match="unidirectional"):
+        StreamingTranscriber(variables, bad, fe, ABC)
+
+
+def test_transcribe_cli_streaming_matches_offline(tmp_path, capsys):
+    """cli.transcribe --streaming prints the same text as the offline
+    path for a unidirectional checkpoint (normalize=False)."""
+    from tpuasr.audio.io import save_audio
+    from tpuasr.cli.transcribe import main as tr_main
+    from tpuasr.train.checkpoint import CheckpointPackage, save_checkpoint
+
+    cfg, fe, model, variables = _setup("gru", 4, seed=21)
+    ckpt = str(tmp_path / "m.ckpt")
+    save_checkpoint(ckpt, CheckpointPackage(
+        model_config=cfg, frontend_config=fe, labels=ABC.labels,
+        variables=variables))
+    rng = np.random.RandomState(23)
+    wav = str(tmp_path / "x.wav")
+    save_audio(wav, (rng.randn(18000) * 0.1).astype(np.float32),
+               fe.sample_rate)
+
+    assert tr_main(["--model-path", ckpt, "--audio-path", wav]) == 0
+    offline = capsys.readouterr().out.strip()
+    assert tr_main(["--model-path", ckpt, "--audio-path", wav,
+                    "--streaming", "--chunk-frames", "16"]) == 0
+    streamed = capsys.readouterr().out.strip()
+    assert streamed == offline
+
+
+def test_stream_reset_and_reuse():
+    cfg, fe, model, variables = _setup("gru", 4, seed=9)
+    rng = np.random.RandomState(17)
+    wave = (rng.randn(9000) * 0.1).astype(np.float32)
+    st = StreamingTranscriber(variables, cfg, fe, ABC, chunk_frames=16)
+    st.feed(wave)
+    st.flush()
+    text1 = st.text
+    st.reset()
+    st.feed(wave)
+    st.flush()
+    assert st.text == text1

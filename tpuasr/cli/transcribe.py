@@ -38,6 +38,12 @@ def main(argv=None) -> int:
     p.add_argument("--chunk-overlap", type=float, default=2.0,
                    help="overlap (s) between chunks for audio longer "
                    "than the bucket ladder")
+    p.add_argument("--streaming", action="store_true",
+                   help="incremental greedy decoding with carried model "
+                   "state (unidirectional checkpoints only); prints "
+                   "text fragments as they finalize")
+    p.add_argument("--chunk-frames", type=int, default=32,
+                   help="streaming: feature frames per step (x10 ms)")
     add_decoder_args(p)
     add_runtime_args(p)
     args = p.parse_args(argv)
@@ -58,6 +64,24 @@ def main(argv=None) -> int:
 
     wave = load_audio(args.audio_path,
                       expected_sample_rate=pkg.frontend_config.sample_rate)
+
+    if args.streaming:
+        # Live-stream simulation: feed the wave in chunk-sized blocks
+        # through the stateful streaming step (tpuasr.stream) and print
+        # fragments as their lookahead context completes.
+        from tpuasr.stream import StreamingTranscriber
+
+        st = StreamingTranscriber(variables, model_cfg,
+                                  pkg.frontend_config, alphabet,
+                                  chunk_frames=args.chunk_frames)
+        block = args.chunk_frames * pkg.frontend_config.hop
+        w = np.asarray(wave, np.float32)
+        for i in range(0, len(w), block):
+            frag = st.feed(w[i:i + block])
+            if frag:
+                print(frag, end="", flush=True)
+        print(st.flush())
+        return 0
 
     # Static shapes, bounded compiles (SURVEY.md §5.7): pad up to the
     # bucket ladder — one compile per bucket, ever; beyond the ladder,

@@ -1,0 +1,425 @@
+"""Streaming (incremental) transcription for unidirectional models.
+
+The reference family has no streaming mode; its unidirectional
+DeepSpeech variant with a Lookahead layer exists precisely to enable
+one (DS2 paper, ref:model.py Lookahead — SURVEY.md §3.1). This module
+supplies it TPU-first: ONE jitted step function with static shapes
+processes a fixed-size audio chunk per call and carries exact model
+state between calls, so a live stream compiles exactly one graph.
+
+Design (overlap-recompute + explicit carries):
+  * Convolutions are STATELESS here: each step recomputes conv1/conv2
+    over a small carried window of past frames (kernel-minus-stride
+    overlaps: 9 feature frames, 10 conv1 frames), so conv outputs are
+    identical to the offline model's by construction. No bespoke
+    "streaming conv" arithmetic to get wrong.
+  * The only true state is what the offline model also carries along
+    time: the RNN hidden state per layer (exact), the Lookahead delay
+    buffer (the layer needs ``context - 1`` future frames), and the
+    causal feature-normalization statistics.
+  * Every chunk emits a constant ``chunk_frames // 2`` logit frames
+    (conv1 halves time). Out-of-domain positions at the stream edges
+    are masked by absolute-index comparisons driven by traced scalars,
+    so the same compiled graph serves startup, steady state, and flush.
+
+Exactness: with ``normalize=False`` the streamed logits equal the
+offline model's logits for the same wave (same parameters, same
+masking semantics; tests/test_stream.py asserts it). With
+``normalize=True`` the offline model normalizes with WHOLE-utterance
+statistics — non-causal by definition — so streaming uses running
+(causal) statistics instead: each chunk is normalized by the
+statistics of everything heard so far. This is the standard streaming
+deviation, documented in OPERATIONS.md.
+
+Latency: algorithmic delay = conv right context (5 conv2 frames +
+2 conv1 frames) + lookahead context (default 20 frames at 20 ms)
+≈ 0.5 s, plus the chunk granularity (chunk_frames x 10 ms).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from tpuasr.audio.frontend import FrontendConfig, _dft_mats, _window_np
+from tpuasr.model.ds2 import CONV_SPECS, GATES, ModelConfig
+
+__all__ = ["StreamingTranscriber"]
+
+
+def _bn_eval(x, params, stats, eps=1e-5):
+    """MaskedBatchNorm in eval mode: pure per-position affine (running
+    statistics; see model.ds2.MaskedBatchNorm)."""
+    xf = x.astype(jnp.float32)
+    y = (xf - stats["mean"]) * jax.lax.rsqrt(stats["var"] + eps)
+    return y * params["scale"].astype(jnp.float32) + params["bias"].astype(
+        jnp.float32
+    )
+
+
+def _conv_block(x, params, stats, spec, mask, dtype):
+    """One MaskedConvBlock (eval) over a frame WINDOW with VALID time
+    padding (the window already contains the needed context); freq
+    padding stays the offline symmetric pad. ``mask``: (B, T_out)
+    validity of each output's absolute position."""
+    kt, kf, st, sf, pt, pf = spec
+    y = jax.lax.conv_general_dilated(
+        x.astype(dtype),
+        params["Conv_0"]["kernel"].astype(dtype),
+        window_strides=(st, sf),
+        padding=((0, 0), (pf, pf)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    y = _bn_eval(y, params["MaskedBatchNorm_0"], stats["MaskedBatchNorm_0"])
+    y = jnp.clip(y, 0.0, 20.0)
+    return y * mask[:, :, None, None]
+
+
+def _rnn_chunk(x, h0, params, rnn_type, mask, dtype):
+    """RecurrentCore math over a chunk: hoisted input projection + a
+    masked scan from carry ``h0``. Mirrors model.ds2.RecurrentCore
+    (gate order r,z,n / i,f,g,o) so parameters interop exactly."""
+    w_x = params["input_proj"]["kernel"].astype(dtype)
+    b_x = params["input_proj"]["bias"].astype(dtype)
+    w_h = params["recurrent_kernel"].astype(dtype)
+    b_h = params["recurrent_bias"].astype(dtype)
+    xg = jnp.einsum("bti,ig->btg", x.astype(dtype), w_x) + b_x
+    xg_t = jnp.swapaxes(xg, 0, 1)  # (T, B, G*H)
+    m_t = jnp.swapaxes(mask, 0, 1)[:, :, None].astype(dtype)
+
+    def step(carry, inp):
+        xg_s, m = inp
+        if rnn_type == "lstm":
+            hc, cc = carry
+            gates = xg_s + jnp.dot(hc, w_h, preferred_element_type=dtype) + b_h
+            i_, f_, g_, o_ = jnp.split(gates, 4, axis=-1)
+            c_new = (jax.nn.sigmoid(f_) * cc
+                     + jax.nn.sigmoid(i_) * jnp.tanh(g_))
+            h_new = jax.nn.sigmoid(o_) * jnp.tanh(c_new)
+            hc = m * h_new + (1 - m) * hc
+            cc = m * c_new + (1 - m) * cc
+            return (hc, cc), hc
+        hc = carry
+        hg = jnp.dot(hc, w_h, preferred_element_type=dtype) + b_h
+        if rnn_type == "gru":
+            xr, xz, xn = jnp.split(xg_s, 3, axis=-1)
+            hr, hz, hn = jnp.split(hg, 3, axis=-1)
+            r = jax.nn.sigmoid(xr + hr)
+            z = jax.nn.sigmoid(xz + hz)
+            n_ = jnp.tanh(xn + r * hn)
+            h_new = (1 - z) * n_ + z * hc
+        else:
+            h_new = jnp.tanh(xg_s + hg)
+        hc = m * h_new + (1 - m) * hc
+        return hc, hc
+
+    carry0 = (h0[0], h0[1]) if rnn_type == "lstm" else h0
+    carry1, ys = jax.lax.scan(step, carry0, (xg_t, m_t))
+    ys = jnp.swapaxes(ys, 0, 1) * mask[:, :, None].astype(dtype)
+    h1 = jnp.stack(carry1) if rnn_type == "lstm" else carry1
+    return ys, h1
+
+
+def _build_step(model_cfg: ModelConfig, frontend_cfg: FrontendConfig,
+                chunk_frames: int):
+    """Compile-once streaming step.
+
+    step(variables, carry, window, k, t_f, t1) ->
+        (logits (B, D, C) f32, carry')
+    with D = chunk_frames // 2. ``window`` is the (B,
+    (chunk_frames+1)*hop) sample window whose hop-blocks are
+    [lead | chunk] for feature frames [k*T1c, (k+1)*T1c); ``t_f`` and
+    ``t1`` are the true total feature/conv frame counts (pass a large
+    sentinel while the stream is open). Emitted logits are for
+    absolute conv-frame indices base_w(k) + [0, D); the host keeps
+    rows with 0 <= w < t1.
+    """
+    cfg, fe = model_cfg, frontend_cfg
+    if cfg.bidirectional:
+        raise ValueError("streaming needs a unidirectional model "
+                         "(bidirectional=False); the backward direction "
+                         "is anti-causal by definition")
+    if chunk_frames % 2 or chunk_frames < 2:
+        raise ValueError("chunk_frames must be a positive multiple of 2")
+    if fe.n_fft != 2 * fe.hop:
+        raise ValueError("streaming framing assumes n_fft == 2*hop "
+                         "(the reference 20ms/10ms configuration)")
+    (kt1, _, st1, _, pt1, _), (kt2, _, st2, _, pt2, _) = CONV_SPECS
+    delta = chunk_frames // st1          # conv frames emitted per step
+    d1 = (kt1 - st1 - pt1) // st1        # conv1 startup lead (=2)
+    d2 = kt2 - st2 - pt2                 # conv2 startup lead (=5)
+    ctx = cfg.lookahead_context
+    hop, n_fft = fe.hop, fe.n_fft
+    win = jnp.asarray(_window_np(fe.window, n_fft))
+    cos_m, sin_m = _dft_mats(n_fft)
+    dt = cfg.compute_dtype
+
+    def step(variables, carry, window, k, t_f, t1):
+        params = variables["params"]
+        stats = variables["batch_stats"]
+        (fbuf, c1buf, labuf, hs, n_cnt, n_sum, n_sq) = carry
+        b = window.shape[0]
+
+        # ---- frontend: frames -> |DFT| -> log1p -> causal normalize
+        blocks = window.reshape(b, chunk_frames + 1, hop)
+        frames = jnp.concatenate([blocks[:, :-1], blocks[:, 1:]], axis=-1)
+        frames = frames * win
+        re = jnp.dot(frames, jnp.asarray(cos_m),
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+        im = jnp.dot(frames, jnp.asarray(sin_m),
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+        feats = jnp.log1p(jnp.sqrt(re * re + im * im + 1e-30))  # (B,T1c,F)
+        t_abs = k * chunk_frames + jnp.arange(chunk_frames, dtype=jnp.int32)
+        f_valid = jnp.broadcast_to(
+            (t_abs[None, :] < t_f).astype(jnp.float32),
+            (b, chunk_frames))
+        if fe.normalize:
+            n_f = feats.shape[-1]
+            m3 = f_valid[:, :, None]
+            n_cnt = n_cnt + jnp.sum(f_valid, axis=1) * n_f
+            n_sum = n_sum + jnp.sum(feats * m3, axis=(1, 2))
+            n_sq = n_sq + jnp.sum(feats * feats * m3, axis=(1, 2))
+            cnt = jnp.maximum(n_cnt, 1.0)
+            mean = n_sum / cnt
+            var = jnp.maximum(n_sq / cnt - mean * mean, 1e-10)
+            feats = (feats - mean[:, None, None]) \
+                * jax.lax.rsqrt(var)[:, None, None]
+        feats = feats * f_valid[:, :, None]
+
+        # ---- conv1 over [9-frame carry | chunk], u = k*D - d1 + [0, D)
+        fwin = jnp.concatenate([fbuf, feats.astype(dt)], axis=1)
+        base_u = k * delta - d1
+        u_abs = base_u + jnp.arange(delta, dtype=jnp.int32)
+        u_ok = jnp.broadcast_to(
+            ((u_abs[None, :] >= 0) & (u_abs[None, :] < t1))
+            .astype(jnp.float32), (b, delta))
+        c1 = _conv_block(fwin[:, :, :, None], params["conv0"],
+                         stats["conv0"], CONV_SPECS[0], u_ok, dt)
+
+        # ---- conv2 over [10-frame carry | new], v = base_u - d2 + [0, D)
+        c1win = jnp.concatenate([c1buf, c1], axis=1)
+        base_v = base_u - d2
+        v_abs = base_v + jnp.arange(delta, dtype=jnp.int32)
+        v_ok = jnp.broadcast_to(
+            ((v_abs[None, :] >= 0) & (v_abs[None, :] < t1))
+            .astype(jnp.float32), (b, delta))
+        c2 = _conv_block(c1win, params["conv1"], stats["conv1"],
+                         CONV_SPECS[1], v_ok, dt)
+        x = c2.reshape(b, delta, -1)
+
+        # ---- RNN stack with carried hidden states (the true state)
+        new_hs = []
+        for i in range(cfg.hidden_layers):
+            lp = params[f"rnn{i}"]
+            if i > 0:
+                x = _bn_eval(x, lp["MaskedBatchNorm_0"],
+                             stats[f"rnn{i}"]["MaskedBatchNorm_0"])
+                x = x * v_ok[:, :, None]
+            x, h1 = _rnn_chunk(x, hs[i], lp["fwd"], cfg.rnn_type, v_ok, dt)
+            new_hs.append(h1)
+        x = x.astype(jnp.float32)
+
+        # ---- Lookahead over [ctx-1 carry | new], w = v - (ctx - 1)
+        if ctx > 0:
+            lwin = jnp.concatenate([labuf, x], axis=1)
+            kern = params["lookahead"]["Conv_0"]["kernel"]  # (ctx, 1, H)
+            y = jax.lax.conv_general_dilated(
+                lwin[:, :, None, :].astype(dt),
+                kern[:, None].astype(dt),
+                window_strides=(1, 1),
+                padding=((0, 0), (0, 0)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=lwin.shape[-1],
+            )[:, :, 0, :]
+            y = jnp.clip(y, 0.0, 20.0).astype(jnp.float32)
+            base_w = base_v - (ctx - 1)
+            new_labuf = lwin[:, -(ctx - 1):] if ctx > 1 else labuf
+        else:
+            y, base_w, new_labuf = x, base_v, labuf
+
+        w_abs = base_w + jnp.arange(delta, dtype=jnp.int32)
+        w_ok = jnp.broadcast_to(
+            ((w_abs[None, :] >= 0) & (w_abs[None, :] < t1))
+            .astype(jnp.float32), (b, delta))
+        y = _bn_eval(y, params["head_bn"], stats["head_bn"]) \
+            * w_ok[:, :, None]
+        logits = jnp.dot(y.astype(dt),
+                         params["head"]["kernel"].astype(dt)
+                         ).astype(jnp.float32)
+        logits = logits * w_ok[:, :, None]
+
+        carry1 = (fwin[:, -(kt1 - st1):], c1win[:, -(kt2 - st2):],
+                  new_labuf, new_hs, n_cnt, n_sum, n_sq)
+        return logits, carry1
+
+    return jax.jit(step), delta, d1, d2
+
+
+class StreamingTranscriber:
+    """Incremental greedy transcription over a live sample stream.
+
+    >>> st = StreamingTranscriber(variables, model_cfg, frontend_cfg,
+    ...                           alphabet, chunk_frames=32)
+    >>> for block in mic:            # arbitrary-size float32 blocks
+    ...     print(st.feed(block), end="", flush=True)
+    >>> print(st.flush())
+
+    ``feed`` returns newly FINALIZED text (greedy argmax emissions are
+    final as soon as their lookahead context is complete); ``flush``
+    drains the pipeline at end of stream and returns the rest. Batch
+    size is 1 (the serving case); the step function itself is batched
+    for future multi-stream serving.
+    """
+
+    _SENTINEL = 1 << 30
+
+    def __init__(self, variables, model_cfg: ModelConfig,
+                 frontend_cfg: FrontendConfig, alphabet,
+                 chunk_frames: int = 32,
+                 collect_logits: bool = False):
+        self.cfg = model_cfg
+        self.fe = frontend_cfg
+        self.alphabet = alphabet
+        self.blank_id = alphabet.blank_id
+        self.chunk_frames = chunk_frames
+        self.variables = variables
+        self.collect_logits = collect_logits
+        self._step, self._delta, self._d1, self._d2 = _build_step(
+            model_cfg, frontend_cfg, chunk_frames
+        )
+        self.reset()
+
+    # ---- state management -------------------------------------------------
+
+    def reset(self) -> None:
+        cfg, fe = self.cfg, self.fe
+        kt1, kf1, st1, sf1, _, pf1 = CONV_SPECS[0]
+        kt2, _, st2, _, _, _ = CONV_SPECS[1]
+        f1 = (fe.n_features + 2 * pf1 - kf1) // sf1 + 1
+        h, dt = cfg.hidden_size, cfg.compute_dtype
+        hs = []
+        for _ in range(cfg.hidden_layers):
+            shape = (2, 1, h) if cfg.rnn_type == "lstm" else (1, h)
+            hs.append(jnp.zeros(shape, dt))
+        self._carry = (
+            jnp.zeros((1, kt1 - st1, fe.n_features), dt),
+            jnp.zeros((1, kt2 - st2, f1, cfg.conv_channels), jnp.float32),
+            jnp.zeros((1, max(cfg.lookahead_context - 1, 1), h),
+                      jnp.float32),
+            hs,
+            jnp.zeros((1,), jnp.float32),
+            jnp.zeros((1,), jnp.float32),
+            jnp.zeros((1,), jnp.float32),
+        )
+        self._pending = np.zeros((0,), np.float32)
+        self._lead = None        # previous window's last hop samples
+        self._recent = np.zeros((0,), np.float32)  # for flush reflection
+        self._n_samples = 0
+        self._k = 0
+        self._last_id = self.blank_id
+        self._text_parts: list[str] = []
+        self._emitted = 0        # conv frames finalized so far
+        self._closed = False
+        self._rows: list[np.ndarray] = []  # (w, logits) when collecting
+
+    # ---- streaming --------------------------------------------------------
+
+    @property
+    def text(self) -> str:
+        return "".join(self._text_parts)
+
+    def logits(self) -> np.ndarray:
+        """(T1, C) assembled logits (requires collect_logits=True)."""
+        if not self.collect_logits:
+            raise RuntimeError("constructed with collect_logits=False")
+        return np.concatenate(self._rows, axis=0) if self._rows else \
+            np.zeros((0, self.cfg.n_classes), np.float32)
+
+    def feed(self, samples: np.ndarray) -> str:
+        """Append samples; run every full chunk available; return newly
+        finalized text."""
+        if self._closed:
+            raise RuntimeError("stream is closed; call reset()")
+        samples = np.asarray(samples, np.float32).reshape(-1)
+        self._pending = np.concatenate([self._pending, samples])
+        self._n_samples += len(samples)
+        self._recent = np.concatenate([self._recent, samples])[
+            -(2 * self.fe.hop + 2):]
+        return self._run_chunks(self._SENTINEL, self._SENTINEL)
+
+    def flush(self) -> str:
+        """End of stream: drain the pipeline, close, return the rest."""
+        if self._closed:
+            return ""
+        hop = self.fe.hop
+        l, t_f = self._n_samples, 1 + self._n_samples // self.fe.hop
+        t1 = (t_f - 1) // 2 + 1
+        # Extend the stream so (a) the final frame reads its offline
+        # right-REFLECTED samples (librosa center=True; mirrors
+        # frontend.frame_signal's one-frame fixup) and (b) enough zero
+        # frames follow to drain the conv/lookahead delays. Positions
+        # past the final frame's window are consumed only by masked
+        # frames, so zeros are fine there.
+        tail = np.zeros((4 * self.chunk_frames * hop,), np.float32)
+        end = (t_f - 1) * hop + self.fe.n_fft // 2  # last frame's end
+        base = l - len(self._recent)
+        for i in range(l, end):
+            p = 2 * (l - 1) - i
+            if 0 <= p - base < len(self._recent):
+                tail[i - l] = self._recent[p - base]
+        self._pending = np.concatenate([self._pending, tail])
+        out = []
+        while self._emitted < t1:
+            frag = self._run_chunks(t_f, t1, max_steps=1)
+            out.append(frag)
+            if len(self._pending) < (self.chunk_frames * hop):
+                self._pending = np.concatenate([
+                    self._pending,
+                    np.zeros((self.chunk_frames * hop,), np.float32)])
+        self._closed = True
+        return "".join(out)
+
+    def _run_chunks(self, t_f: int, t1: int, max_steps: int = 10 ** 9) -> str:
+        hop = self.fe.hop
+        s_chunk = self.chunk_frames * hop
+        new_text: list[str] = []
+        steps = 0
+        while len(self._pending) >= s_chunk and steps < max_steps:
+            take = self._pending[:s_chunk]
+            self._pending = self._pending[s_chunk:]
+            if self._lead is None:
+                # chunk 0: frame 0 left-reflects (librosa center=True)
+                lead = np.zeros((hop,), np.float32)
+                n = min(hop, len(take) - 1)
+                if n > 0:
+                    lead[-n:] = take[1:n + 1][::-1]
+                self._lead = lead
+            window = np.concatenate([self._lead, take])
+            self._lead = window[-hop:].copy()
+            logits, self._carry = self._step(
+                self.variables, self._carry, jnp.asarray(window[None, :]),
+                jnp.int32(self._k), jnp.int32(t_f), jnp.int32(t1),
+            )
+            self._k += 1
+            base_w = (self._k - 1) * self._delta - self._d1 - self._d2 \
+                - max(self.cfg.lookahead_context - 1, 0)
+            rows = np.asarray(logits)[0]
+            lo = max(0, -base_w)
+            hi = min(self._delta, t1 - base_w)
+            for j in range(lo, hi):
+                cid = int(np.argmax(rows[j]))
+                if cid != self.blank_id and cid != self._last_id:
+                    new_text.append(self.alphabet.labels[cid])
+                self._last_id = cid
+                self._emitted = base_w + j + 1
+            if self.collect_logits and hi > lo:
+                self._rows.append(rows[lo:hi])
+            steps += 1
+        frag = "".join(new_text)
+        if frag:
+            self._text_parts.append(frag)
+        return frag
