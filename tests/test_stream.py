@@ -110,6 +110,42 @@ def test_stream_rejects_bidirectional():
         StreamingTranscriber(variables, bad, fe, ABC)
 
 
+def _log_softmax(x):
+    m = x.max(axis=-1, keepdims=True)
+    e = np.exp(x - m)
+    return x - m - np.log(e.sum(axis=-1, keepdims=True))
+
+
+@pytest.mark.parametrize("with_lm", [False, True])
+def test_stream_beam_matches_offline(with_lm):
+    """Incremental host prefix-beam over streamed logits finalizes to
+    the same text as the offline prefix_beam_search, with and without
+    word-LM shallow fusion; streamed fragments concatenate to .text."""
+    from tpuasr.decode.beam_host import prefix_beam_search
+    from tpuasr.decode.lm import train_ngram
+
+    cfg, fe, model, variables = _setup("gru", 4, seed=31)
+    rng = np.random.RandomState(33)
+    wave = (rng.randn(16500) * 0.15).astype(np.float32)
+    ref_logits, t1 = _offline(model, variables, fe, wave)
+    lm = train_ngram(["AB A B", "B AB", "A AB B"], order=2) if with_lm \
+        else None
+
+    offline = prefix_beam_search(
+        _log_softmax(ref_logits[:t1].astype(np.float64)), ABC,
+        beam_width=6, lm=lm, alpha=0.5, beta=0.3)[0][0]
+
+    st = StreamingTranscriber(variables, cfg, fe, ABC, chunk_frames=16,
+                              decoder="beam", lm=lm, alpha=0.5, beta=0.3,
+                              beam_width=6)
+    frags = []
+    for i in range(0, len(wave), 1234):
+        frags.append(st.feed(wave[i:i + 1234]))
+    frags.append(st.flush())
+    assert "".join(frags) == st.text
+    assert st.text == offline
+
+
 def test_transcribe_cli_streaming_matches_offline(tmp_path, capsys):
     """cli.transcribe --streaming prints the same text as the offline
     path for a unidirectional checkpoint (normalize=False)."""
@@ -133,6 +169,17 @@ def test_transcribe_cli_streaming_matches_offline(tmp_path, capsys):
                     "--streaming", "--chunk-frames", "16"]) == 0
     streamed = capsys.readouterr().out.strip()
     assert streamed == offline
+
+    # beam-mode streaming through the CLI agrees with the host beam
+    # decoder run offline on the same checkpoint
+    assert tr_main(["--model-path", ckpt, "--audio-path", wav,
+                    "--decoder", "beam", "--beam-width", "6"]) == 0
+    offline_beam = capsys.readouterr().out.strip()
+    assert tr_main(["--model-path", ckpt, "--audio-path", wav,
+                    "--streaming", "--chunk-frames", "16",
+                    "--decoder", "beam", "--beam-width", "6"]) == 0
+    streamed_beam = capsys.readouterr().out.strip()
+    assert streamed_beam == offline_beam
 
 
 def test_stream_reset_and_reuse():

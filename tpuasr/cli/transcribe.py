@@ -71,9 +71,21 @@ def main(argv=None) -> int:
         # fragments as their lookahead context completes.
         from tpuasr.stream import StreamingTranscriber
 
+        kw = {}
+        if args.decoder == "beam":
+            from tpuasr.decode.lm import ArpaLM
+
+            kw = dict(
+                decoder="beam",
+                lm=ArpaLM.load(args.lm_path) if args.lm_path else None,
+                alpha=args.alpha, beta=args.beta,
+                beam_width=args.beam_width,
+                cutoff_top_n=args.cutoff_top_n,
+                cutoff_prob=args.cutoff_prob,
+            )
         st = StreamingTranscriber(variables, model_cfg,
                                   pkg.frontend_config, alphabet,
-                                  chunk_frames=args.chunk_frames)
+                                  chunk_frames=args.chunk_frames, **kw)
         block = args.chunk_frames * pkg.frontend_config.hop
         w = np.asarray(wave, np.float32)
         for i in range(0, len(w), block):

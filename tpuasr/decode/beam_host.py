@@ -55,72 +55,93 @@ def prefix_beam_search(
     Returns:
       beams as (text, total_score) sorted best-first.
     """
-    t_max, n_class = logprobs.shape
+    beams = beam_init()
+    for t in range(logprobs.shape[0]):
+        beams = beam_step(beams, logprobs[t], alphabet, beam_width, lm,
+                          alpha, beta, cutoff_top_n, cutoff_prob,
+                          prune_logp)
+    return beam_results(beams, alphabet, lm, alpha, beta)
+
+
+def beam_init() -> dict:
+    """Fresh beam state: prefix tuple -> [log_pb, log_pnb, lm_score,
+    n_words]. The state is a plain dict so callers (the streaming
+    transcriber) can carry it across logit chunks."""
+    return {(): [0.0, LOG0, 0.0, 0]}
+
+
+def beam_step(beams: dict, lp: np.ndarray, alphabet: Alphabet,
+              beam_width: int, lm: ArpaLM | None = None,
+              alpha: float = 0.8, beta: float = 1.0,
+              cutoff_top_n: int = 40, cutoff_prob: float = 1.0,
+              prune_logp: float = -20.0) -> dict:
+    """Advance the beam state by ONE frame of (C,) log-posteriors."""
     blank = alphabet.blank_id
     space = alphabet.space_id
+    n_class = lp.shape[0]
+    # candidate chars: top-n / cumulative cutoff pruning (ctcdecode's
+    # cutoff_top_n / cutoff_prob)
+    order = np.argsort(-lp)
+    if cutoff_prob < 1.0:
+        cum = np.cumsum(np.exp(lp[order]))
+        keep = int(np.searchsorted(cum, cutoff_prob) + 1)
+    else:
+        keep = n_class
+    cand = [c for c in order[: min(keep, cutoff_top_n)]
+            if lp[c] > prune_logp or c == blank]
 
-    # beam state: prefix tuple -> [log_pb, log_pnb, lm_score, n_words]
-    beams = {(): [0.0, LOG0, 0.0, 0]}
+    nxt: dict = defaultdict(lambda: [LOG0, LOG0, 0.0, 0])
 
-    for t in range(t_max):
-        lp = logprobs[t]
-        # candidate chars: top-n / cumulative cutoff pruning (ctcdecode's
-        # cutoff_top_n / cutoff_prob)
-        order = np.argsort(-lp)
-        if cutoff_prob < 1.0:
-            cum = np.cumsum(np.exp(lp[order]))
-            keep = int(np.searchsorted(cum, cutoff_prob) + 1)
-        else:
-            keep = n_class
-        cand = [c for c in order[: min(keep, cutoff_top_n)]
-                if lp[c] > prune_logp or c == blank]
+    for prefix, (pb, pnb, lms, nw) in beams.items():
+        p_tot = _lse(pb, pnb)
+        last = prefix[-1] if prefix else None
 
-        nxt: dict = defaultdict(lambda: [LOG0, LOG0, 0.0, 0])
+        for c in cand:
+            lpc = float(lp[c])
+            if c == blank:
+                e = nxt[prefix]
+                e[0] = _lse(e[0], p_tot + lpc)
+                e[2], e[3] = lms, nw
+                continue
+            if c == last:
+                # repeat without blank: stays same prefix
+                e = nxt[prefix]
+                e[1] = _lse(e[1], pnb + lpc)
+                e[2], e[3] = lms, nw
+                # with blank in between: extends
+                contrib = pb + lpc
+            else:
+                contrib = p_tot + lpc
+            new_prefix = prefix + (c,)
+            lms_new, nw_new = lms, nw
+            if lm is not None and c == space:
+                word = _last_word(prefix, alphabet, space)
+                if word:
+                    ctx = _context(prefix, alphabet, space)
+                    lms_new = lms + alpha * LN10 * lm.score_word(ctx, word) + beta
+                    nw_new = nw + 1
+            e = nxt[new_prefix]
+            e[1] = _lse(e[1], contrib)
+            e[2], e[3] = lms_new, nw_new
 
-        for prefix, (pb, pnb, lms, nw) in beams.items():
-            p_tot = _lse(pb, pnb)
-            last = prefix[-1] if prefix else None
+    # keep top beams by ctc + lm score
+    scored = sorted(
+        nxt.items(),
+        key=lambda kv: -(_lse(kv[1][0], kv[1][1]) + kv[1][2]),
+    )
+    return dict(scored[:beam_width])
 
-            for c in cand:
-                lpc = float(lp[c])
-                if c == blank:
-                    e = nxt[prefix]
-                    e[0] = _lse(e[0], p_tot + lpc)
-                    e[2], e[3] = lms, nw
-                    continue
-                if c == last:
-                    # repeat without blank: stays same prefix
-                    e = nxt[prefix]
-                    e[1] = _lse(e[1], pnb + lpc)
-                    e[2], e[3] = lms, nw
-                    # with blank in between: extends
-                    contrib = pb + lpc
-                else:
-                    contrib = p_tot + lpc
-                new_prefix = prefix + (c,)
-                lms_new, nw_new = lms, nw
-                if lm is not None and c == space:
-                    word = _last_word(prefix, alphabet, space)
-                    if word:
-                        ctx = _context(prefix, alphabet, space)
-                        lms_new = lms + alpha * LN10 * lm.score_word(ctx, word) + beta
-                        nw_new = nw + 1
-                e = nxt[new_prefix]
-                e[1] = _lse(e[1], contrib)
-                e[2], e[3] = lms_new, nw_new
 
-        # keep top beams by ctc + lm score
-        scored = sorted(
-            nxt.items(),
-            key=lambda kv: -(_lse(kv[1][0], kv[1][1]) + kv[1][2]),
-        )
-        beams = dict(scored[:beam_width])
-
+def beam_results(beams: dict, alphabet: Alphabet,
+                 lm: ArpaLM | None = None, alpha: float = 0.8,
+                 beta: float = 1.0) -> list[tuple[str, float]]:
+    """Finalize a beam state: close partial words against the LM
+    (ctcdecode finish_decoding) and return (text, score) best-first."""
+    space = alphabet.space_id
     results = []
     for prefix, (pb, pnb, lms, nw) in beams.items():
         total = _lse(pb, pnb) + lms
         if lm is not None:
-            # close the final partial word (ctcdecode finish_decoding)
             word = _last_word(prefix, alphabet, space)
             if word:
                 ctx = _context(prefix + (space,), alphabet, space)

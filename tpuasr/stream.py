@@ -280,7 +280,20 @@ class StreamingTranscriber:
     def __init__(self, variables, model_cfg: ModelConfig,
                  frontend_cfg: FrontendConfig, alphabet,
                  chunk_frames: int = 32,
-                 collect_logits: bool = False):
+                 collect_logits: bool = False,
+                 decoder: str = "greedy", lm=None, alpha: float = 0.8,
+                 beta: float = 1.0, beam_width: int = 10,
+                 cutoff_top_n: int = 40, cutoff_prob: float = 1.0,
+                 prune_logp: float = -20.0):
+        """``decoder="beam"`` runs an incremental host prefix-beam
+        search (optionally with word-LM shallow fusion via ``lm``, an
+        ArpaLM) over the streamed logits: ``feed`` returns the STABLE
+        common prefix of all beams as it extends; ``flush`` finalizes
+        with the best beam (closing the last partial word against the
+        LM). Streamed fragments are provisional in beam mode — in the
+        rare case a later observation overturns the committed prefix,
+        ``flush`` returns the corrected full text and ``.text`` is
+        always the authoritative transcript."""
         self.cfg = model_cfg
         self.fe = frontend_cfg
         self.alphabet = alphabet
@@ -288,6 +301,13 @@ class StreamingTranscriber:
         self.chunk_frames = chunk_frames
         self.variables = variables
         self.collect_logits = collect_logits
+        if decoder not in ("greedy", "beam"):
+            raise ValueError(f"decoder must be greedy|beam, got {decoder!r}")
+        self.decoder = decoder
+        self._beam_kw = dict(beam_width=beam_width, lm=lm, alpha=alpha,
+                             beta=beta, cutoff_top_n=cutoff_top_n,
+                             cutoff_prob=cutoff_prob,
+                             prune_logp=prune_logp)
         self._step, self._delta, self._d1, self._d2 = _build_step(
             model_cfg, frontend_cfg, chunk_frames
         )
@@ -325,6 +345,11 @@ class StreamingTranscriber:
         self._emitted = 0        # conv frames finalized so far
         self._closed = False
         self._rows: list[np.ndarray] = []  # (w, logits) when collecting
+        if getattr(self, "decoder", "greedy") == "beam":
+            from tpuasr.decode.beam_host import beam_init
+
+            self._beams = beam_init()
+            self._committed: tuple = ()
 
     # ---- streaming --------------------------------------------------------
 
@@ -372,16 +397,31 @@ class StreamingTranscriber:
             if 0 <= p - base < len(self._recent):
                 tail[i - l] = self._recent[p - base]
         self._pending = np.concatenate([self._pending, tail])
-        out = []
+        drained = []
         while self._emitted < t1:
-            frag = self._run_chunks(t_f, t1, max_steps=1)
-            out.append(frag)
+            drained.append(self._run_chunks(t_f, t1, max_steps=1))
             if len(self._pending) < (self.chunk_frames * hop):
                 self._pending = np.concatenate([
                     self._pending,
                     np.zeros((self.chunk_frames * hop,), np.float32)])
+        extra = ""
+        if self.decoder == "beam":
+            from tpuasr.decode.beam_host import beam_results
+
+            final = beam_results(self._beams, self.alphabet,
+                                 lm=self._beam_kw["lm"],
+                                 alpha=self._beam_kw["alpha"],
+                                 beta=self._beam_kw["beta"])[0][0]
+            committed = "".join(self._text_parts)  # includes drained
+            if final.startswith(committed):
+                extra = final[len(committed):]
+                if extra:
+                    self._text_parts.append(extra)
+            else:  # rare retraction: the final text is authoritative
+                self._text_parts = [final]
+                drained, extra = [], final
         self._closed = True
-        return "".join(out)
+        return "".join(drained) + extra
 
     def _run_chunks(self, t_f: int, t1: int, max_steps: int = 10 ** 9) -> str:
         hop = self.fe.hop
@@ -410,12 +450,39 @@ class StreamingTranscriber:
             rows = np.asarray(logits)[0]
             lo = max(0, -base_w)
             hi = min(self._delta, t1 - base_w)
-            for j in range(lo, hi):
-                cid = int(np.argmax(rows[j]))
-                if cid != self.blank_id and cid != self._last_id:
-                    new_text.append(self.alphabet.labels[cid])
-                self._last_id = cid
-                self._emitted = base_w + j + 1
+            if self.decoder == "beam" and hi > lo:
+                from tpuasr.decode.beam_host import beam_step
+
+                for j in range(lo, hi):
+                    row = rows[j].astype(np.float64)
+                    lp = row - np.log(np.sum(np.exp(row - row.max()))) \
+                        - row.max()
+                    self._beams = beam_step(self._beams, lp,
+                                            self.alphabet,
+                                            **self._beam_kw)
+                # stable prefix = common to every live beam
+                keys = list(self._beams.keys())
+                lcp = keys[0]
+                for k2 in keys[1:]:
+                    n = 0
+                    for a, b2 in zip(lcp, k2):
+                        if a != b2:
+                            break
+                        n += 1
+                    lcp = lcp[:n]
+                if (len(lcp) > len(self._committed)
+                        and lcp[:len(self._committed)] == self._committed):
+                    new_text.append(self.alphabet.decode(
+                        lcp[len(self._committed):]))
+                    self._committed = lcp
+            else:
+                for j in range(lo, hi):
+                    cid = int(np.argmax(rows[j]))
+                    if cid != self.blank_id and cid != self._last_id:
+                        new_text.append(self.alphabet.labels[cid])
+                    self._last_id = cid
+            if hi > lo:
+                self._emitted = base_w + hi
             if self.collect_logits and hi > lo:
                 self._rows.append(rows[lo:hi])
             steps += 1
