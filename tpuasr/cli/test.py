@@ -59,12 +59,15 @@ def main(argv=None) -> int:
 
     pkg = load_checkpoint(args.model_path)
     alphabet = pkg.alphabet
-    import jax
 
     # Checkpoints restore as host numpy; device_put ONCE or every
     # eval dispatch re-uploads the full parameter set (measured 4.5 s
     # per call for the flagship's ~245 MB through a tunneled host).
-    variables = jax.device_put({
+    # BLOCKING: the upload must complete before LM tables / corpus /
+    # compile traffic is issued (see device_put_blocking).
+    from tpuasr.train.checkpoint import device_put_blocking
+
+    variables = device_put_blocking({
         "params": pkg.variables["params"],
         "batch_stats": pkg.variables["batch_stats"],
     })

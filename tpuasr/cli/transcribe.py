@@ -50,11 +50,13 @@ def main(argv=None) -> int:
 
     pkg = load_checkpoint(args.model_path)
     alphabet = pkg.alphabet
-    import jax
 
     # device_put once: numpy variables re-upload on every dispatch
-    # otherwise (see cli/test.py)
-    variables = jax.device_put({
+    # otherwise; blocking so no later traffic interleaves the upload
+    # (see train.checkpoint.device_put_blocking)
+    from tpuasr.train.checkpoint import device_put_blocking
+
+    variables = device_put_blocking({
         "params": pkg.variables["params"],
         "batch_stats": pkg.variables["batch_stats"],
     })

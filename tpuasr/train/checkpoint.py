@@ -120,3 +120,34 @@ def restore_opt_state(template, state_dict):
     """Restore a msgpack'd optimizer state into the optimizer's own
     pytree structure (flax state-dict round trip)."""
     return serialization.from_state_dict(template, state_dict)
+
+
+def device_put_blocking(tree):
+    """``jax.device_put`` + wait for the transfers to REALLY complete.
+
+    Large checkpoint uploads must finish BEFORE further runtime traffic
+    (LM-table uploads, corpus residency, compile requests) is issued:
+    on a tunneled runtime, interleaving new requests with a
+    multi-hundred-MB in-flight transfer wedged the stream (observed
+    2026-08-17: four cli.test runs blocked in tcp_recvmsg with the
+    compile request never arriving; a fresh process moved 16 MB/s).
+
+    ``block_until_ready`` is NOT a barrier here — the runtime plugin
+    acks staged host-side buffers (measured: 165 MB "ready" in 0.5 s
+    through a ~16 MB/s tunnel). The only honest barrier is a device
+    computation whose *value* we materialize on the host. One jitted
+    whole-tree checksum = one compile (persistent-cacheable) + one
+    scalar download; per-leaf ``sum()`` would compile one graph per
+    distinct leaf shape (measured 558 s vs the wire's ~10 s).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    out = jax.device_put(tree)
+    leaves = jax.tree.leaves(out)
+    if leaves:
+        checksum = jax.jit(
+            lambda ls: sum((jnp.sum(x.astype(jnp.float32)) for x in ls),
+                           start=jnp.float32(0)))
+        float(checksum(leaves))  # float() = true host materialization
+    return out
