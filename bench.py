@@ -43,9 +43,15 @@ PEAK_TFLOPS = (
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="tpuasr single-chip benchmark")
     p.add_argument("--mode", default="train",
-                   choices=["train", "infer", "beam", "beamlm", "beamchar"],
+                   choices=["train", "infer", "beam", "beamlm", "beamchar",
+                            "stream"],
                    help="train step | greedy inference | device beam "
-                   "(no LM / word LM / char LM)")
+                   "(no LM / word LM / char LM) | streaming step latency")
+    p.add_argument("--chunk-frames", type=int, default=32,
+                   help="stream mode: feature frames per streaming step")
+    p.add_argument("--streams", type=int, default=1,
+                   help="stream mode: concurrent live streams sharing "
+                   "one batched step (MultiStreamTranscriber)")
     # Default batch = the measured per-chip throughput sweet spot on v5e
     # (BASELINE.md batch-scaling table: 463 utt/s @32, 583 @64, 876
     # @128). The reference family trained at B=20-32 per GPU
@@ -143,6 +149,9 @@ def main(argv=None) -> None:
     train_cfg = TrainConfig(ctc_impl=args.ctc_impl)
     model_cfg = ModelConfig(n_classes=alphabet.size, rnn_impl=rnn_impl,
                             rnn_type=args.rnn_type)
+    if args.mode == "stream":
+        _bench_stream(args, frontend_cfg, alphabet)
+        return
     state = init_train_state(model_cfg, train_cfg, jax.random.PRNGKey(0))
     if args.mode == "infer":
         _bench_infer(args, model_cfg, frontend_cfg, state)
@@ -310,6 +319,77 @@ def _bench_beam(args, model_cfg, frontend_cfg, state, cutoff_top_n: int = 40,
             "lm_vocab": args.lm_vocab or None,
             "lm_entries": n_entries,
             "impl": "pallas" if dec.kernel_eligible() else "xla",
+        },
+    }
+    print(json.dumps(result))
+
+
+def _bench_stream(args, frontend_cfg, alphabet) -> None:
+    """Streaming-step latency: unidirectional(+Lookahead) model, fixed
+    chunk — the serving live-stream case (tpuasr.stream). --streams 1
+    measures a lone stream's real-time factor; --streams N measures N
+    concurrent streams sharing one batched step (aggregate RTF =
+    N * chunk seconds / tick wall time — the MXU batch payoff)."""
+    import jax
+
+    from tpuasr.model.ds2 import ModelConfig
+    from tpuasr.stream import MultiStreamTranscriber, StreamingTranscriber
+    from tpuasr.train.step import TrainConfig, init_train_state
+
+    model_cfg = ModelConfig(n_classes=alphabet.size, bidirectional=False,
+                            rnn_type=args.rnn_type, rnn_impl="scan")
+    state = init_train_state(model_cfg, TrainConfig(), jax.random.PRNGKey(0))
+    variables = jax.device_put({"params": state.params,
+                                "batch_stats": state.batch_stats})
+    block = args.chunk_frames * frontend_cfg.hop
+    rng = np.random.RandomState(0)
+    wave = (rng.randn(block * (WARMUP + ITERS + 2)) * 0.1).astype(np.float32)
+    s = max(args.streams, 1)
+    if s == 1:
+        st = StreamingTranscriber(variables, model_cfg, frontend_cfg,
+                                  alphabet, chunk_frames=args.chunk_frames)
+        feed_tick = st.feed
+    else:
+        mst = MultiStreamTranscriber(variables, model_cfg, frontend_cfg,
+                                     alphabet, max_streams=s,
+                                     chunk_frames=args.chunk_frames)
+        sids = [mst.open() for _ in range(s)]
+
+        def feed_tick(chunk):
+            for sid in sids:
+                mst.feed(sid, chunk)
+            mst.tick()  # one batched step; np readback = host sync
+
+    pos = 0
+    for _ in range(WARMUP + 1):  # first feed compiles the step
+        feed_tick(wave[pos:pos + block])
+        pos += block
+    lat = []
+    for _ in range(ITERS):
+        t0 = time.perf_counter()
+        feed_tick(wave[pos:pos + block])
+        pos += block
+        lat.append(time.perf_counter() - t0)
+    chunk_s = args.chunk_frames * frontend_cfg.window_stride
+    med = sorted(lat)[len(lat) // 2]
+    rtf = s * chunk_s / med
+    # algorithmic delay: conv right context + lookahead, in conv frames
+    delay_frames = 2 + 5 + max(model_cfg.lookahead_context - 1, 0)
+    result = {
+        "metric": "ds2_streaming_realtime_factor",
+        "value": round(rtf, 2),
+        "unit": "x_realtime",
+        "vs_baseline": round(rtf, 2),  # 1.0 = real time
+        "extra": {
+            "streams": s,
+            "chunk_ms": round(chunk_s * 1e3, 1),
+            "step_ms_median": round(med * 1e3, 2),
+            "step_ms_min": round(min(lat) * 1e3, 2),
+            "chunk_frames": args.chunk_frames,
+            "rnn_type": args.rnn_type,
+            "algorithmic_latency_ms": round(
+                (delay_frames * 2 + 1) * frontend_cfg.window_stride * 1e3,
+                0),
         },
     }
     print(json.dumps(result))

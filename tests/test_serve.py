@@ -3,6 +3,7 @@
 import io
 import json
 import threading
+import urllib.error
 import urllib.request
 
 import numpy as np
@@ -129,4 +130,101 @@ def test_service_warmup_compiles_before_traffic(ckpt):
         )
         assert isinstance(text, str)
     finally:
+        svc.close()
+
+
+@pytest.fixture(scope="module")
+def uni_ckpt(tmp_path_factory):
+    """Unidirectional (streaming-capable) checkpoint."""
+    tmp = tmp_path_factory.mktemp("serve_stream")
+    import jax.numpy as jnp
+
+    mc = ModelConfig(n_classes=Alphabet().size, hidden_size=16,
+                     hidden_layers=1, bidirectional=False,
+                     lookahead_context=4, compute_dtype=jnp.float32)
+    state = init_train_state(mc, TrainConfig(), jax.random.PRNGKey(2))
+    pkg = CheckpointPackage(
+        model_config=mc, frontend_config=FrontendConfig(),
+        labels=Alphabet().labels,
+        variables={"params": jax.device_get(state.params),
+                   "batch_stats": jax.device_get(state.batch_stats)},
+    )
+    path = str(tmp / "uni.ckpt")
+    save_checkpoint(path, pkg)
+    return path
+
+
+def test_stream_sessions_http(uni_ckpt):
+    """Two concurrent live-stream HTTP sessions produce exactly the
+    single-stream StreamingTranscriber texts."""
+    from tpuasr.serve import StreamServeConfig, StreamSessionService
+    from tpuasr.stream import StreamingTranscriber
+    from tpuasr.train.checkpoint import load_checkpoint
+
+    pkg = load_checkpoint(uni_ckpt)
+    variables = {"params": pkg.variables["params"],
+                 "batch_stats": pkg.variables["batch_stats"]}
+    rng = np.random.RandomState(7)
+    waves = [(0.2 * rng.randn(n)).astype(np.float32)
+             for n in (12000, 8000)]
+    want = []
+    for w in waves:
+        st = StreamingTranscriber(variables, pkg.model_config,
+                                  pkg.frontend_config, pkg.alphabet,
+                                  chunk_frames=16)
+        st.feed(w)
+        st.flush()
+        want.append(st.text)
+
+    svc = StreamSessionService(
+        uni_ckpt, StreamServeConfig(max_streams=2, chunk_frames=16))
+    server = make_http_server(None, "127.0.0.1", 0, stream_service=svc)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+
+    def post(path, data=b"", fmt=None):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}{path}", data=data, method="POST")
+        if fmt:
+            req.add_header("X-Audio-Format", fmt)
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return json.loads(r.read())
+
+    try:
+        sids = [post("/stream/open")["id"] for _ in waves]
+        got_parts = ["", ""]
+        step = 4000
+        for off in range(0, 12000, step):
+            for j, w in enumerate(waves):
+                if off < len(w):
+                    pcm = (np.clip(w[off:off + step], -1, 1)
+                           * 32767).astype("<i2").tobytes()
+                    got_parts[j] += post(f"/stream/{sids[j]}/feed",
+                                         pcm)["text"]
+        finals = [post(f"/stream/{sids[j]}/close")["text"]
+                  for j in range(2)]
+        # int16 quantization of the HTTP body can flip near-tie argmax
+        # frames on random logits, so compare against a single-stream
+        # run of the SAME quantized audio
+        for j, w in enumerate(waves):
+            q = (np.clip(w, -1, 1) * 32767).astype(np.int16)
+            st = StreamingTranscriber(variables, pkg.model_config,
+                                      pkg.frontend_config, pkg.alphabet,
+                                      chunk_frames=16)
+            st.feed(q.astype(np.float32) / 32768.0)
+            st.flush()
+            assert finals[j] == st.text, j
+            assert finals[j].startswith(got_parts[j]) or got_parts[j] == ""
+        # f32 path is exact vs the float single-stream runs
+        sid = post("/stream/open")["id"]
+        post(f"/stream/{sid}/feed", waves[1].tobytes(), fmt="f32")
+        assert post(f"/stream/{sid}/close")["text"] == want[1]
+        # unknown stream -> 404
+        try:
+            post("/stream/99/feed", b"")
+            assert False, "expected 404"
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        server.shutdown()
         svc.close()

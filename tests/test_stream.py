@@ -194,3 +194,95 @@ def test_stream_reset_and_reuse():
     st.feed(wave)
     st.flush()
     assert st.text == text1
+
+
+@pytest.mark.parametrize("rnn_type", ["gru", "lstm"])
+def test_multistream_matches_single(rnn_type):
+    """Three interleaved live streams (different content, lengths, and
+    feed granularities) through ONE batched step produce EXACTLY the
+    single-stream texts; idle rows are bit-frozen by the active mask."""
+    from tpuasr.stream import MultiStreamTranscriber
+
+    cfg, fe, model, variables = _setup(rnn_type, 4, seed=41)
+    rng = np.random.RandomState(43)
+    waves = [(rng.randn(n) * 0.15).astype(np.float32)
+             for n in (21000, 9000, 14500)]
+    singles = []
+    for w in waves:
+        st = StreamingTranscriber(variables, cfg, fe, ABC,
+                                  chunk_frames=16)
+        st.feed(w)
+        st.flush()
+        singles.append(st.text)
+
+    mst = MultiStreamTranscriber(variables, cfg, fe, ABC,
+                                 max_streams=4, chunk_frames=16)
+    sids = [mst.open() for _ in waves]
+    pos = [0, 0, 0]
+    sizes = [777, 1234, 555]
+    while any(pos[i] < len(waves[i]) for i in range(3)):
+        for i in range(3):
+            if pos[i] < len(waves[i]):
+                mst.feed(sids[i], waves[i][pos[i]:pos[i] + sizes[i]])
+                pos[i] += sizes[i]
+        mst.tick()  # streams advance at different rates
+    while mst.tick():
+        pass
+    for i in (1, 0, 2):  # flush order independent
+        mst.flush(sids[i])
+    for i in range(3):
+        assert mst.text(sids[i]) == singles[i], (i, rnn_type)
+
+
+def test_multistream_slot_reuse_unpolluted():
+    """A reopened slot must start from zero state even though a
+    previous stream ran in the same carry row."""
+    from tpuasr.stream import MultiStreamTranscriber
+
+    cfg, fe, model, variables = _setup("gru", 4, seed=9)
+    rng = np.random.RandomState(17)
+    wave_a = (rng.randn(12000) * 0.2).astype(np.float32)
+    wave_b = (rng.randn(9500) * 0.1).astype(np.float32)
+
+    st = StreamingTranscriber(variables, cfg, fe, ABC, chunk_frames=16)
+    st.feed(wave_b)
+    st.flush()
+    want_b = st.text
+
+    mst = MultiStreamTranscriber(variables, cfg, fe, ABC,
+                                 max_streams=2, chunk_frames=16)
+    a = mst.open()
+    mst.feed(a, wave_a)
+    mst.flush(a)
+    mst.close(a)
+    b = mst.open()
+    assert b == a  # same physical row
+    mst.feed(b, wave_b)
+    mst.flush(b)
+    assert mst.text(b) == want_b
+
+
+def test_multistream_take_text_and_lifecycle():
+    from tpuasr.stream import MultiStreamTranscriber
+
+    cfg, fe, model, variables = _setup("gru", 4, seed=3)
+    rng = np.random.RandomState(5)
+    wave = (rng.randn(11000) * 0.15).astype(np.float32)
+    mst = MultiStreamTranscriber(variables, cfg, fe, ABC,
+                                 max_streams=1, chunk_frames=16)
+    sid = mst.open()
+    with pytest.raises(RuntimeError, match="slots in use"):
+        mst.open()
+    mst.feed(sid, wave)
+    while mst.tick():
+        pass
+    early = mst.take_text(sid)
+    rest = mst.flush(sid)
+    assert mst.take_text(sid) == rest
+    assert mst.text(sid) == early + rest
+    with pytest.raises(RuntimeError, match="closed"):
+        mst.feed(sid, wave)
+    mst.close(sid)
+    with pytest.raises(KeyError):
+        mst.text(sid)
+    assert mst.open() == sid

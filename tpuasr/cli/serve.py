@@ -38,6 +38,14 @@ def main(argv=None) -> int:
                    "explicit truncation")
     p.add_argument("--chunk-overlap", type=float, default=2.0,
                    help="chunk overlap (s) for long-form decode")
+    p.add_argument("--streaming", action="store_true",
+                   help="enable live-stream sessions (POST /stream/*; "
+                   "needs a unidirectional checkpoint) — many "
+                   "concurrent streams share one batched device step")
+    p.add_argument("--max-streams", type=int, default=8,
+                   help="concurrent live-stream sessions (batch rows)")
+    p.add_argument("--stream-chunk-frames", type=int, default=32,
+                   help="feature frames per streaming step")
     add_decoder_args(p)
     add_runtime_args(p)
     args = p.parse_args(argv)
@@ -56,9 +64,20 @@ def main(argv=None) -> int:
         decoder=decoder,
         rnn_impl=getattr(args, "rnn_impl", None),
     )
-    server = make_http_server(service, args.host, args.port)
+    stream_service = None
+    if args.streaming:
+        from tpuasr.serve import StreamServeConfig, StreamSessionService
+
+        stream_service = StreamSessionService(
+            args.model_path,
+            StreamServeConfig(max_streams=args.max_streams,
+                              chunk_frames=args.stream_chunk_frames),
+        )
+    server = make_http_server(service, args.host, args.port,
+                              stream_service=stream_service)
     print(f"tpuasr serving on {args.host}:{args.port} "
-          f"(max_batch={args.max_batch}, decoder={args.decoder})",
+          f"(max_batch={args.max_batch}, decoder={args.decoder}"
+          f"{', streaming' if stream_service else ''})",
           flush=True)
     try:
         server.serve_forever()
@@ -66,6 +85,8 @@ def main(argv=None) -> int:
         pass
     finally:
         service.close()
+        if stream_service is not None:
+            stream_service.close()
     return 0
 
 

@@ -234,10 +234,128 @@ class TranscriptionService:
 
 
 def _tree_device(tree):
-    import jax
-    import jax.numpy as jnp
+    from tpuasr.train.checkpoint import device_put_blocking
 
-    return jax.tree.map(jnp.asarray, tree)
+    return device_put_blocking(tree)
+
+
+# ---------------------------------------------------------------------------
+# Live-stream sessions (unidirectional models): many concurrent streams
+# share ONE batched streaming step (tpuasr.stream.MultiStreamTranscriber)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class StreamServeConfig:
+    max_streams: int = 8
+    chunk_frames: int = 32
+    # ticker cadence when no stream has a full chunk buffered
+    idle_sleep_ms: float = 5.0
+    # a session silent for this long is force-closed (slot leak guard)
+    session_timeout_s: float = 300.0
+
+
+class StreamSessionService:
+    """HTTP-session wrapper around MultiStreamTranscriber.
+
+    A single background ticker thread batches every live session into
+    shared device steps (the TPU-native design: one stream underfills
+    the MXU; concurrent sessions ride the batch dimension at near the
+    cost of one). feed() only buffers + reads back already-finalized
+    text, so request latency never includes device work.
+
+    Requires a unidirectional (streaming-capable) checkpoint; greedy
+    decode (see MultiStreamTranscriber). Offline batch requests can be
+    served by a TranscriptionService alongside — dispatches interleave
+    safely on one chip.
+    """
+
+    def __init__(self, model_path: str,
+                 cfg: StreamServeConfig | None = None):
+        # (no rnn_impl knob: the streaming step is its own scan math,
+        # independent of the offline model's rnn_impl selection)
+        from tpuasr.stream import MultiStreamTranscriber
+        from tpuasr.train.checkpoint import load_checkpoint
+
+        self.cfg = cfg or StreamServeConfig()
+        pkg = load_checkpoint(model_path)
+        model_cfg = pkg.model_config
+        if model_cfg.bidirectional:
+            raise ValueError(
+                "streaming sessions need a unidirectional checkpoint "
+                "(bidirectional=False, e.g. --no-bidirectional training)")
+        self.sample_rate = pkg.frontend_config.sample_rate
+        variables = _tree_device({
+            "params": pkg.variables["params"],
+            "batch_stats": pkg.variables["batch_stats"],
+        })
+        self._mst = MultiStreamTranscriber(
+            variables, model_cfg, pkg.frontend_config, pkg.alphabet,
+            max_streams=self.cfg.max_streams,
+            chunk_frames=self.cfg.chunk_frames)
+        self._lock = threading.Lock()
+        self._last_seen: dict[int, float] = {}
+        self._stop = threading.Event()
+        # warm the step graph BEFORE sessions arrive (one compile ever)
+        with self._lock:
+            sid = self._mst.open()
+            self._mst.feed(sid, np.zeros(
+                (self.cfg.chunk_frames * pkg.frontend_config.hop + 1,),
+                np.float32))
+            self._mst.tick()
+            self._mst.flush(sid)
+            self._mst.close(sid)
+        self._ticker = threading.Thread(target=self._tick_loop, daemon=True)
+        self._ticker.start()
+
+    # ---- session API ------------------------------------------------------
+
+    def open(self) -> int:
+        with self._lock:
+            self._reap()
+            sid = self._mst.open()
+            self._last_seen[sid] = time.time()
+            return sid
+
+    def feed(self, sid: int, samples: np.ndarray) -> str:
+        """Buffer samples; return text finalized so far this session
+        (decode happens on the shared ticker thread)."""
+        with self._lock:
+            self._mst.feed(sid, samples)
+            self._last_seen[sid] = time.time()
+            return self._mst.take_text(sid)
+
+    def finish(self, sid: int) -> str:
+        """Drain + close the session; returns the FULL final text."""
+        with self._lock:
+            self._mst.flush(sid)
+            text = self._mst.text(sid)
+            self._mst.close(sid)
+            self._last_seen.pop(sid, None)
+            return text
+
+    def close(self) -> None:
+        self._stop.set()
+        self._ticker.join(timeout=5)
+
+    # ---- internals --------------------------------------------------------
+
+    def _reap(self) -> None:
+        now = time.time()
+        for sid, seen in list(self._last_seen.items()):
+            if now - seen > self.cfg.session_timeout_s:
+                try:
+                    self._mst.close(sid)
+                except KeyError:
+                    pass
+                self._last_seen.pop(sid, None)
+
+    def _tick_loop(self) -> None:
+        while not self._stop.is_set():
+            with self._lock:
+                stepped = self._mst.tick()
+            if not stepped:
+                time.sleep(self.cfg.idle_sleep_ms / 1e3)
 
 
 # ---------------------------------------------------------------------------
@@ -245,7 +363,17 @@ def _tree_device(tree):
 # ---------------------------------------------------------------------------
 
 
-def make_http_server(service: TranscriptionService, host: str, port: int):
+def make_http_server(service: TranscriptionService | None, host: str,
+                     port: int,
+                     stream_service: "StreamSessionService | None" = None):
+    """HTTP server over a batch service and/or a live-stream session
+    service. Streaming protocol (raw PCM at the model sample rate —
+    int16 LE by default, `X-Audio-Format: f32` for float32):
+
+        POST /stream/open            -> {"id": N}
+        POST /stream/<id>/feed  PCM  -> {"text": "<newly final text>"}
+        POST /stream/<id>/close      -> {"text": "<full final text>"}
+    """
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
     class Handler(BaseHTTPRequestHandler):
@@ -260,6 +388,15 @@ def make_http_server(service: TranscriptionService, host: str, port: int):
             self.end_headers()
             self.wfile.write(body)
 
+        def _body(self) -> bytes:
+            n = int(self.headers.get("Content-Length", "0"))
+            return self.rfile.read(n)
+
+        def _pcm(self, data: bytes) -> np.ndarray:
+            if self.headers.get("X-Audio-Format", "i16").lower() == "f32":
+                return np.frombuffer(data, np.float32)
+            return np.frombuffer(data, np.int16).astype(np.float32) / 32768.0
+
         def do_GET(self):
             if self.path == "/healthz":
                 self._send(200, {"status": "ok"})
@@ -267,14 +404,35 @@ def make_http_server(service: TranscriptionService, host: str, port: int):
                 self._send(404, {"error": "not found"})
 
         def do_POST(self):
-            if self.path != "/transcribe":
-                self._send(404, {"error": "not found"})
-                return
             try:
-                n = int(self.headers.get("Content-Length", "0"))
-                data = self.rfile.read(n)
-                text, offsets = service.transcribe_wav_bytes(data)
-                self._send(200, {"text": text, "offsets": offsets})
+                if self.path == "/transcribe" and service is not None:
+                    text, offsets = service.transcribe_wav_bytes(
+                        self._body())
+                    self._send(200, {"text": text, "offsets": offsets})
+                    return
+                if self.path.startswith("/stream"):
+                    if stream_service is None:
+                        self._send(400, {"error": "streaming disabled "
+                                         "(start with --streaming and a "
+                                         "unidirectional checkpoint)"})
+                        return
+                    parts = self.path.strip("/").split("/")
+                    if parts == ["stream", "open"]:
+                        self._send(200, {"id": stream_service.open()})
+                        return
+                    if len(parts) == 3 and parts[2] in ("feed", "close"):
+                        sid = int(parts[1])
+                        if parts[2] == "feed":
+                            frag = stream_service.feed(
+                                sid, self._pcm(self._body()))
+                            self._send(200, {"text": frag})
+                        else:
+                            self._send(200,
+                                       {"text": stream_service.finish(sid)})
+                        return
+                self._send(404, {"error": "not found"})
+            except KeyError as exc:
+                self._send(404, {"error": f"unknown stream {exc}"})
             except Exception as exc:
                 self._send(400, {"error": repr(exc)})
 

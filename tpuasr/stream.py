@@ -44,9 +44,68 @@ import jax
 import jax.numpy as jnp
 
 from tpuasr.audio.frontend import FrontendConfig, _dft_mats, _window_np
-from tpuasr.model.ds2 import CONV_SPECS, GATES, ModelConfig
+from tpuasr.model.ds2 import CONV_SPECS, ModelConfig
 
-__all__ = ["StreamingTranscriber"]
+__all__ = ["StreamingTranscriber", "MultiStreamTranscriber"]
+
+
+def _first_lead(take: np.ndarray, hop: int) -> np.ndarray:
+    """Chunk 0's lead: frame 0 left-reflects (librosa center=True)."""
+    lead = np.zeros((hop,), np.float32)
+    n = min(hop, len(take) - 1)
+    if n > 0:
+        lead[-n:] = take[1:n + 1][::-1]
+    return lead
+
+
+def _reflect_tail(recent: np.ndarray, l: int, t_f: int, hop: int,
+                  half: int, tail_len: int) -> np.ndarray:
+    """End-of-stream extension: right-REFLECT the last samples so the
+    final frame reads its offline center=True window (mirrors
+    frontend.frame_signal's one-frame fixup), zeros beyond."""
+    tail = np.zeros((tail_len,), np.float32)
+    end = (t_f - 1) * hop + half
+    base = l - len(recent)
+    for i in range(l, end):
+        p = 2 * (l - 1) - i
+        if 0 <= p - base < len(recent):
+            tail[i - l] = recent[p - base]
+    return tail
+
+
+def _init_carry(cfg: ModelConfig, fe: FrontendConfig, b: int):
+    """Zero streaming carry for a batch of ``b`` streams (see
+    _build_step for the layout)."""
+    kt1, kf1, st1, sf1, _, pf1 = CONV_SPECS[0]
+    kt2, _, st2, _, _, _ = CONV_SPECS[1]
+    f1 = (fe.n_features + 2 * pf1 - kf1) // sf1 + 1
+    h, dt = cfg.hidden_size, cfg.compute_dtype
+    hs = []
+    for _ in range(cfg.hidden_layers):
+        shape = (2, b, h) if cfg.rnn_type == "lstm" else (b, h)
+        hs.append(jnp.zeros(shape, dt))
+    return (
+        jnp.zeros((b, kt1 - st1, fe.n_features), dt),
+        jnp.zeros((b, kt2 - st2, f1, cfg.conv_channels), jnp.float32),
+        jnp.zeros((b, max(cfg.lookahead_context - 1, 1), h),
+                  jnp.float32),
+        hs,
+        jnp.zeros((b,), jnp.float32),
+        jnp.zeros((b,), jnp.float32),
+        jnp.zeros((b,), jnp.float32),
+    )
+
+
+def _greedy_emit(rows: np.ndarray, lo: int, hi: int, last_id: int,
+                 labels, blank_id: int) -> tuple[str, int]:
+    """CTC greedy collapse over finalized logit rows [lo, hi)."""
+    parts = []
+    for j in range(lo, hi):
+        cid = int(np.argmax(rows[j]))
+        if cid != blank_id and cid != last_id:
+            parts.append(labels[cid])
+        last_id = cid
+    return "".join(parts), last_id
 
 
 def _bn_eval(x, params, stats, eps=1e-5):
@@ -156,11 +215,18 @@ def _build_step(model_cfg: ModelConfig, frontend_cfg: FrontendConfig,
     cos_m, sin_m = _dft_mats(n_fft)
     dt = cfg.compute_dtype
 
-    def step(variables, carry, window, k, t_f, t1):
+    def step(variables, carry, window, k, t_f, t1, active=None):
+        """``k``/``t_f``/``t1`` are scalars OR per-row (B,) vectors —
+        every stream in the batch may sit at its own position
+        (MultiStreamTranscriber). ``active`` (B,) bool gates the carry
+        update so idle rows (no data this tick) are bit-frozen."""
         params = variables["params"]
         stats = variables["batch_stats"]
         (fbuf, c1buf, labuf, hs, n_cnt, n_sum, n_sq) = carry
         b = window.shape[0]
+        kv = jnp.reshape(k, (-1, 1))          # (1,1) or (B,1)
+        t_f_v = jnp.reshape(t_f, (-1, 1))
+        t1_v = jnp.reshape(t1, (-1, 1))
 
         # ---- frontend: frames -> |DFT| -> log1p -> causal normalize
         blocks = window.reshape(b, chunk_frames + 1, hop)
@@ -173,9 +239,10 @@ def _build_step(model_cfg: ModelConfig, frontend_cfg: FrontendConfig,
                      preferred_element_type=jnp.float32,
                      precision=jax.lax.Precision.HIGHEST)
         feats = jnp.log1p(jnp.sqrt(re * re + im * im + 1e-30))  # (B,T1c,F)
-        t_abs = k * chunk_frames + jnp.arange(chunk_frames, dtype=jnp.int32)
+        t_abs = kv * chunk_frames + jnp.arange(chunk_frames,
+                                               dtype=jnp.int32)[None, :]
         f_valid = jnp.broadcast_to(
-            (t_abs[None, :] < t_f).astype(jnp.float32),
+            (t_abs < t_f_v).astype(jnp.float32),
             (b, chunk_frames))
         if fe.normalize:
             n_f = feats.shape[-1]
@@ -192,10 +259,10 @@ def _build_step(model_cfg: ModelConfig, frontend_cfg: FrontendConfig,
 
         # ---- conv1 over [9-frame carry | chunk], u = k*D - d1 + [0, D)
         fwin = jnp.concatenate([fbuf, feats.astype(dt)], axis=1)
-        base_u = k * delta - d1
-        u_abs = base_u + jnp.arange(delta, dtype=jnp.int32)
+        base_u = kv * delta - d1                         # (1,1)/(B,1)
+        u_abs = base_u + jnp.arange(delta, dtype=jnp.int32)[None, :]
         u_ok = jnp.broadcast_to(
-            ((u_abs[None, :] >= 0) & (u_abs[None, :] < t1))
+            ((u_abs >= 0) & (u_abs < t1_v))
             .astype(jnp.float32), (b, delta))
         c1 = _conv_block(fwin[:, :, :, None], params["conv0"],
                          stats["conv0"], CONV_SPECS[0], u_ok, dt)
@@ -203,9 +270,9 @@ def _build_step(model_cfg: ModelConfig, frontend_cfg: FrontendConfig,
         # ---- conv2 over [10-frame carry | new], v = base_u - d2 + [0, D)
         c1win = jnp.concatenate([c1buf, c1], axis=1)
         base_v = base_u - d2
-        v_abs = base_v + jnp.arange(delta, dtype=jnp.int32)
+        v_abs = base_v + jnp.arange(delta, dtype=jnp.int32)[None, :]
         v_ok = jnp.broadcast_to(
-            ((v_abs[None, :] >= 0) & (v_abs[None, :] < t1))
+            ((v_abs >= 0) & (v_abs < t1_v))
             .astype(jnp.float32), (b, delta))
         c2 = _conv_block(c1win, params["conv1"], stats["conv1"],
                          CONV_SPECS[1], v_ok, dt)
@@ -241,9 +308,9 @@ def _build_step(model_cfg: ModelConfig, frontend_cfg: FrontendConfig,
         else:
             y, base_w, new_labuf = x, base_v, labuf
 
-        w_abs = base_w + jnp.arange(delta, dtype=jnp.int32)
+        w_abs = base_w + jnp.arange(delta, dtype=jnp.int32)[None, :]
         w_ok = jnp.broadcast_to(
-            ((w_abs[None, :] >= 0) & (w_abs[None, :] < t1))
+            ((w_abs >= 0) & (w_abs < t1_v))
             .astype(jnp.float32), (b, delta))
         y = _bn_eval(y, params["head_bn"], stats["head_bn"]) \
             * w_ok[:, :, None]
@@ -254,6 +321,30 @@ def _build_step(model_cfg: ModelConfig, frontend_cfg: FrontendConfig,
 
         carry1 = (fwin[:, -(kt1 - st1):], c1win[:, -(kt2 - st2):],
                   new_labuf, new_hs, n_cnt, n_sum, n_sq)
+        if active is not None:
+            # freeze idle rows bit-exactly (multi-stream ticks step
+            # every row; only rows with real data may advance). hs
+            # leaves carry batch on axis 0 (gru/rnn: (B,H)) or axis 1
+            # (lstm: (2,B,H)); everything else on axis 0.
+            act = active.astype(bool)
+
+            def sel(new, old, axis=0):
+                m = jnp.reshape(act, (-1,) + (1,) * (new.ndim - 1 - axis))
+                return jnp.where(jnp.expand_dims(m, tuple(range(axis)))
+                                 if axis else m, new, old)
+
+            h_axis = 1 if cfg.rnn_type == "lstm" else 0
+            # old values come from the INPUT carry tuple — the local
+            # n_cnt/n_sum/n_sq names were reassigned by the normalize
+            # update above and would alias the new values here
+            carry1 = (
+                sel(carry1[0], carry[0]), sel(carry1[1], carry[1]),
+                sel(carry1[2], carry[2]),
+                [sel(n, o, axis=h_axis)
+                 for n, o in zip(new_hs, carry[3])],
+                sel(carry1[4], carry[4]), sel(carry1[5], carry[5]),
+                sel(carry1[6], carry[6]),
+            )
         return logits, carry1
 
     return jax.jit(step), delta, d1, d2
@@ -316,25 +407,7 @@ class StreamingTranscriber:
     # ---- state management -------------------------------------------------
 
     def reset(self) -> None:
-        cfg, fe = self.cfg, self.fe
-        kt1, kf1, st1, sf1, _, pf1 = CONV_SPECS[0]
-        kt2, _, st2, _, _, _ = CONV_SPECS[1]
-        f1 = (fe.n_features + 2 * pf1 - kf1) // sf1 + 1
-        h, dt = cfg.hidden_size, cfg.compute_dtype
-        hs = []
-        for _ in range(cfg.hidden_layers):
-            shape = (2, 1, h) if cfg.rnn_type == "lstm" else (1, h)
-            hs.append(jnp.zeros(shape, dt))
-        self._carry = (
-            jnp.zeros((1, kt1 - st1, fe.n_features), dt),
-            jnp.zeros((1, kt2 - st2, f1, cfg.conv_channels), jnp.float32),
-            jnp.zeros((1, max(cfg.lookahead_context - 1, 1), h),
-                      jnp.float32),
-            hs,
-            jnp.zeros((1,), jnp.float32),
-            jnp.zeros((1,), jnp.float32),
-            jnp.zeros((1,), jnp.float32),
-        )
+        self._carry = _init_carry(self.cfg, self.fe, 1)
         self._pending = np.zeros((0,), np.float32)
         self._lead = None        # previous window's last hop samples
         self._recent = np.zeros((0,), np.float32)  # for flush reflection
@@ -389,13 +462,9 @@ class StreamingTranscriber:
         # frames follow to drain the conv/lookahead delays. Positions
         # past the final frame's window are consumed only by masked
         # frames, so zeros are fine there.
-        tail = np.zeros((4 * self.chunk_frames * hop,), np.float32)
-        end = (t_f - 1) * hop + self.fe.n_fft // 2  # last frame's end
-        base = l - len(self._recent)
-        for i in range(l, end):
-            p = 2 * (l - 1) - i
-            if 0 <= p - base < len(self._recent):
-                tail[i - l] = self._recent[p - base]
+        tail = _reflect_tail(self._recent, l, t_f, hop,
+                             self.fe.n_fft // 2,
+                             4 * self.chunk_frames * hop)
         self._pending = np.concatenate([self._pending, tail])
         drained = []
         while self._emitted < t1:
@@ -432,12 +501,7 @@ class StreamingTranscriber:
             take = self._pending[:s_chunk]
             self._pending = self._pending[s_chunk:]
             if self._lead is None:
-                # chunk 0: frame 0 left-reflects (librosa center=True)
-                lead = np.zeros((hop,), np.float32)
-                n = min(hop, len(take) - 1)
-                if n > 0:
-                    lead[-n:] = take[1:n + 1][::-1]
-                self._lead = lead
+                self._lead = _first_lead(take, hop)
             window = np.concatenate([self._lead, take])
             self._lead = window[-hop:].copy()
             logits, self._carry = self._step(
@@ -476,11 +540,11 @@ class StreamingTranscriber:
                         lcp[len(self._committed):]))
                     self._committed = lcp
             else:
-                for j in range(lo, hi):
-                    cid = int(np.argmax(rows[j]))
-                    if cid != self.blank_id and cid != self._last_id:
-                        new_text.append(self.alphabet.labels[cid])
-                    self._last_id = cid
+                frag0, self._last_id = _greedy_emit(
+                    rows, lo, hi, self._last_id, self.alphabet.labels,
+                    self.blank_id)
+                if frag0:
+                    new_text.append(frag0)
             if hi > lo:
                 self._emitted = base_w + hi
             if self.collect_logits and hi > lo:
@@ -490,3 +554,230 @@ class StreamingTranscriber:
         if frag:
             self._text_parts.append(frag)
         return frag
+
+
+# ---------------------------------------------------------------------------
+# Multi-stream serving: many live streams share ONE batched step
+# ---------------------------------------------------------------------------
+
+
+class _StreamSlot:
+    """Host-side state of one live stream in a MultiStreamTranscriber."""
+
+    __slots__ = ("pending", "lead", "recent", "n_samples", "k", "last_id",
+                 "parts", "fresh", "emitted", "draining", "t_f", "t1",
+                 "closed")
+
+    def __init__(self):
+        self.pending = np.zeros((0,), np.float32)
+        self.lead = None
+        self.recent = np.zeros((0,), np.float32)
+        self.n_samples = 0
+        self.k = 0
+        self.last_id = -1  # set by the owner (blank_id)
+        self.parts: list[str] = []
+        self.fresh: list[str] = []
+        self.emitted = 0
+        self.draining = False
+        self.t_f = 0
+        self.t1 = 0
+        self.closed = False
+
+
+class MultiStreamTranscriber:
+    """Up to ``max_streams`` concurrent live streams decoded by ONE
+    compiled batched step — the TPU-native serving design: a lone
+    stream underfills the MXU, so concurrent sessions ride the batch
+    dimension at near the cost of one (BASELINE.md stream scaling).
+
+    Each stream advances independently: per-row absolute positions
+    (k/t_f/t1 vectors) drive the step's masks, and an ``active`` row
+    mask bit-freezes the carries of streams with no data this tick —
+    so per-stream results are EXACTLY the single-stream
+    StreamingTranscriber's (tests/test_stream.py asserts equality).
+
+    >>> mst = MultiStreamTranscriber(variables, cfg, fe, alphabet)
+    >>> a, b = mst.open(), mst.open()
+    >>> mst.feed(a, wave_a); mst.feed(b, wave_b)
+    >>> while mst.tick(): pass
+    >>> mst.flush(a); mst.text(a)
+
+    Greedy decode only (host beam fusion remains a single-stream
+    feature: its per-stream Python beam state dominates multi-stream
+    host cost). Thread safety is the caller's job (serve.py holds one
+    lock around feed/tick/flush).
+    """
+
+    _SENTINEL = 1 << 30
+
+    def __init__(self, variables, model_cfg: ModelConfig,
+                 frontend_cfg: FrontendConfig, alphabet,
+                 max_streams: int = 8, chunk_frames: int = 32):
+        if model_cfg.bidirectional:
+            raise ValueError("streaming needs a unidirectional model")
+        self.cfg = model_cfg
+        self.fe = frontend_cfg
+        self.alphabet = alphabet
+        self.blank_id = alphabet.blank_id
+        self.chunk_frames = chunk_frames
+        self.max_streams = max_streams
+        self.variables = variables
+        self._step, self._delta, self._d1, self._d2 = _build_step(
+            model_cfg, frontend_cfg, chunk_frames
+        )
+        self._lahead = max(model_cfg.lookahead_context - 1, 0)
+        self._carry = _init_carry(model_cfg, frontend_cfg, max_streams)
+        self._slots: list[_StreamSlot | None] = [None] * max_streams
+
+        lstm = model_cfg.rnn_type == "lstm"
+
+        @jax.jit
+        def reset_rows(carry, keep):
+            """Zero the carry rows where ``keep`` is False."""
+            def z(x, axis=0):
+                m = jnp.reshape(keep, (-1,) + (1,) * (x.ndim - 1 - axis))
+                if axis:
+                    m = jnp.expand_dims(m, tuple(range(axis)))
+                return jnp.where(m, x, jnp.zeros_like(x))
+
+            fbuf, c1buf, labuf, hs, a, b, c = carry
+            h_axis = 1 if lstm else 0
+            return (z(fbuf), z(c1buf), z(labuf),
+                    [z(h, h_axis) for h in hs], z(a), z(b), z(c))
+
+        self._reset_rows = reset_rows
+
+    # ---- session lifecycle ------------------------------------------------
+
+    def open(self) -> int:
+        """Claim a free stream slot; returns its id. Raises RuntimeError
+        when all ``max_streams`` slots are live."""
+        for i, s in enumerate(self._slots):
+            if s is None:
+                slot = _StreamSlot()
+                slot.last_id = self.blank_id
+                self._slots[i] = slot
+                keep = np.ones((self.max_streams,), bool)
+                keep[i] = False
+                self._carry = self._reset_rows(self._carry,
+                                               jnp.asarray(keep))
+                return i
+        raise RuntimeError(f"all {self.max_streams} stream slots in use")
+
+    def close(self, sid: int) -> None:
+        self._slots[sid] = None
+
+    # ---- data plane -------------------------------------------------------
+
+    def feed(self, sid: int, samples: np.ndarray) -> None:
+        """Buffer samples for stream ``sid`` (no device work; call
+        tick() to advance every stream with a full chunk)."""
+        s = self._require(sid)
+        if s.closed or s.draining:
+            raise RuntimeError("stream is closed; open() a new slot")
+        samples = np.asarray(samples, np.float32).reshape(-1)
+        s.pending = np.concatenate([s.pending, samples])
+        s.n_samples += len(samples)
+        s.recent = np.concatenate([s.recent, samples])[
+            -(2 * self.fe.hop + 2):]
+
+    def ready(self) -> bool:
+        s_chunk = self.chunk_frames * self.fe.hop
+        return any(s is not None and not s.closed
+                   and len(s.pending) >= s_chunk for s in self._slots)
+
+    def tick(self) -> bool:
+        """Run ONE batched step over every stream holding a full chunk.
+        Returns False (no device work) when none is ready."""
+        hop = self.fe.hop
+        s_chunk = self.chunk_frames * hop
+        ready = [i for i, s in enumerate(self._slots)
+                 if s is not None and not s.closed
+                 and len(s.pending) >= s_chunk]
+        if not ready:
+            return False
+        S = self.max_streams
+        windows = np.zeros((S, s_chunk + hop), np.float32)
+        k = np.zeros((S,), np.int32)
+        t_f = np.full((S,), self._SENTINEL, np.int32)
+        t1 = np.full((S,), self._SENTINEL, np.int32)
+        active = np.zeros((S,), bool)
+        for i in ready:
+            s = self._slots[i]
+            take = s.pending[:s_chunk]
+            s.pending = s.pending[s_chunk:]
+            if s.lead is None:
+                s.lead = _first_lead(take, hop)
+            windows[i] = np.concatenate([s.lead, take])
+            s.lead = windows[i][-hop:].copy()
+            k[i] = s.k
+            active[i] = True
+            if s.draining:
+                t_f[i], t1[i] = s.t_f, s.t1
+        logits, self._carry = self._step(
+            self.variables, self._carry, jnp.asarray(windows),
+            jnp.asarray(k), jnp.asarray(t_f), jnp.asarray(t1),
+            jnp.asarray(active),
+        )
+        rows_all = np.asarray(logits)
+        for i in ready:
+            s = self._slots[i]
+            s.k += 1
+            base_w = (s.k - 1) * self._delta - self._d1 - self._d2 \
+                - self._lahead
+            cap = s.t1 if s.draining else self._SENTINEL
+            lo = max(0, -base_w)
+            hi = min(self._delta, cap - base_w)
+            if hi > lo:
+                frag, s.last_id = _greedy_emit(
+                    rows_all[i], lo, hi, s.last_id,
+                    self.alphabet.labels, self.blank_id)
+                if frag:
+                    s.parts.append(frag)
+                    s.fresh.append(frag)
+                s.emitted = base_w + hi
+        return True
+
+    # ---- results ----------------------------------------------------------
+
+    def text(self, sid: int) -> str:
+        return "".join(self._require(sid).parts)
+
+    def take_text(self, sid: int) -> str:
+        """Newly finalized text since the last take_text/feed cycle."""
+        s = self._require(sid)
+        frag = "".join(s.fresh)
+        s.fresh = []
+        return frag
+
+    def flush(self, sid: int) -> str:
+        """End of stream ``sid``: drain its pipeline (other ready
+        streams keep advancing on the shared ticks) and return its
+        remaining newly-final text. The slot stays readable via
+        text()/take_text() until close()."""
+        s = self._require(sid)
+        if s.closed:
+            return ""
+        hop = self.fe.hop
+        s_chunk = self.chunk_frames * hop
+        s.t_f = 1 + s.n_samples // hop
+        s.t1 = (s.t_f - 1) // 2 + 1
+        s.draining = True
+        tail = _reflect_tail(s.recent, s.n_samples, s.t_f, hop,
+                             self.fe.n_fft // 2,
+                             4 * self.chunk_frames * hop)
+        s.pending = np.concatenate([s.pending, tail])
+        before = len(s.parts)
+        while s.emitted < s.t1:
+            if len(s.pending) < s_chunk:
+                s.pending = np.concatenate(
+                    [s.pending, np.zeros((s_chunk,), np.float32)])
+            self.tick()
+        s.closed = True
+        return "".join(s.parts[before:])
+
+    def _require(self, sid: int) -> _StreamSlot:
+        s = self._slots[sid] if 0 <= sid < self.max_streams else None
+        if s is None:
+            raise KeyError(f"no open stream {sid}")
+        return s
