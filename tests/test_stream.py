@@ -286,3 +286,44 @@ def test_multistream_take_text_and_lifecycle():
     with pytest.raises(KeyError):
         mst.text(sid)
     assert mst.open() == sid
+
+
+@pytest.mark.parametrize("with_lm", [False, True])
+def test_multistream_beam_matches_single(with_lm):
+    """Multi-stream incremental beam (shared batched step, per-slot
+    host prefix-beam) finalizes to the single-stream beam texts, with
+    and without word-LM fusion."""
+    from tpuasr.decode.lm import train_ngram
+    from tpuasr.stream import MultiStreamTranscriber
+
+    cfg, fe, model, variables = _setup("gru", 4, seed=31)
+    rng = np.random.RandomState(53)
+    waves = [(rng.randn(n) * 0.15).astype(np.float32)
+             for n in (16500, 11000)]
+    lm = train_ngram(["AB A B", "B AB", "A AB B"], order=2) if with_lm \
+        else None
+    kw = dict(decoder="beam", lm=lm, alpha=0.5, beta=0.3, beam_width=6)
+
+    singles = []
+    for w in waves:
+        st = StreamingTranscriber(variables, cfg, fe, ABC,
+                                  chunk_frames=16, **kw)
+        st.feed(w)
+        st.flush()
+        singles.append(st.text)
+
+    mst = MultiStreamTranscriber(variables, cfg, fe, ABC,
+                                 max_streams=2, chunk_frames=16, **kw)
+    sids = [mst.open() for _ in waves]
+    pos = [0, 0]
+    while any(pos[j] < len(waves[j]) for j in range(2)):
+        for j, step_sz in enumerate((1234, 999)):
+            if pos[j] < len(waves[j]):
+                mst.feed(sids[j], waves[j][pos[j]:pos[j] + step_sz])
+                pos[j] += step_sz
+        mst.tick()
+    while mst.tick():
+        pass
+    for j in range(2):
+        mst.flush(sids[j])
+        assert mst.text(sids[j]) == singles[j], (j, with_lm)

@@ -70,8 +70,16 @@ def main(argv=None) -> int:
 
         stream_service = StreamSessionService(
             args.model_path,
-            StreamServeConfig(max_streams=args.max_streams,
-                              chunk_frames=args.stream_chunk_frames),
+            StreamServeConfig(
+                max_streams=args.max_streams,
+                chunk_frames=args.stream_chunk_frames,
+                # sessions decode greedy unless the host beam decoder
+                # was selected; beam fuses --lm-path per session
+                decoder="beam" if args.decoder == "beam" else "greedy",
+                lm_path=args.lm_path, alpha=args.alpha, beta=args.beta,
+                beam_width=args.beam_width,
+                cutoff_top_n=args.cutoff_top_n,
+                cutoff_prob=args.cutoff_prob),
         )
     server = make_http_server(service, args.host, args.port,
                               stream_service=stream_service)

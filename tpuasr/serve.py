@@ -253,6 +253,15 @@ class StreamServeConfig:
     idle_sleep_ms: float = 5.0
     # a session silent for this long is force-closed (slot leak guard)
     session_timeout_s: float = 300.0
+    # decode: "greedy" or "beam" (incremental host prefix-beam per
+    # session, optional word-LM shallow fusion via lm_path)
+    decoder: str = "greedy"
+    lm_path: str | None = None
+    alpha: float = 0.8
+    beta: float = 1.0
+    beam_width: int = 10
+    cutoff_top_n: int = 40
+    cutoff_prob: float = 1.0
 
 
 class StreamSessionService:
@@ -289,10 +298,19 @@ class StreamSessionService:
             "params": pkg.variables["params"],
             "batch_stats": pkg.variables["batch_stats"],
         })
+        lm = None
+        if self.cfg.decoder == "beam" and self.cfg.lm_path:
+            from tpuasr.decode.lm import load_lm
+
+            lm = load_lm(self.cfg.lm_path)
         self._mst = MultiStreamTranscriber(
             variables, model_cfg, pkg.frontend_config, pkg.alphabet,
             max_streams=self.cfg.max_streams,
-            chunk_frames=self.cfg.chunk_frames)
+            chunk_frames=self.cfg.chunk_frames,
+            decoder=self.cfg.decoder, lm=lm, alpha=self.cfg.alpha,
+            beta=self.cfg.beta, beam_width=self.cfg.beam_width,
+            cutoff_top_n=self.cfg.cutoff_top_n,
+            cutoff_prob=self.cfg.cutoff_prob)
         self._lock = threading.Lock()
         self._last_seen: dict[int, float] = {}
         self._stop = threading.Event()

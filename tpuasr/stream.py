@@ -108,6 +108,50 @@ def _greedy_emit(rows: np.ndarray, lo: int, hi: int, last_id: int,
     return "".join(parts), last_id
 
 
+def _beam_emit(beams, committed: tuple, rows: np.ndarray, lo: int,
+               hi: int, alphabet, beam_kw: dict):
+    """Advance an incremental host prefix-beam over finalized logit
+    rows [lo, hi); emit the newly-STABLE text (the common prefix of
+    every live beam, past what was already committed). Returns
+    (frag, beams, committed)."""
+    from tpuasr.decode.beam_host import beam_step
+
+    for j in range(lo, hi):
+        row = rows[j].astype(np.float64)
+        lp = row - np.log(np.sum(np.exp(row - row.max()))) - row.max()
+        beams = beam_step(beams, lp, alphabet, **beam_kw)
+    keys = list(beams.keys())
+    lcp = keys[0]
+    for k2 in keys[1:]:
+        n = 0
+        for a, b2 in zip(lcp, k2):
+            if a != b2:
+                break
+            n += 1
+        lcp = lcp[:n]
+    frag = ""
+    if len(lcp) > len(committed) and lcp[:len(committed)] == committed:
+        frag = alphabet.decode(lcp[len(committed):])
+        committed = lcp
+    return frag, beams, committed
+
+
+def _beam_final(beams, committed_text: str, alphabet, beam_kw: dict):
+    """Finalize an incremental beam: best beam text, closing the last
+    partial word against the LM. Returns (extra_text, full_text) —
+    on the rare retraction (the final text does not extend the
+    committed prefix) extra == full and the caller must REPLACE its
+    committed text."""
+    from tpuasr.decode.beam_host import beam_results
+
+    final = beam_results(beams, alphabet, lm=beam_kw["lm"],
+                         alpha=beam_kw["alpha"],
+                         beta=beam_kw["beta"])[0][0]
+    if final.startswith(committed_text):
+        return final[len(committed_text):], final
+    return final, final  # retraction: final text is authoritative
+
+
 def _bn_eval(x, params, stats, eps=1e-5):
     """MaskedBatchNorm in eval mode: pure per-position affine (running
     statistics; see model.ds2.MaskedBatchNorm)."""
@@ -475,20 +519,15 @@ class StreamingTranscriber:
                     np.zeros((self.chunk_frames * hop,), np.float32)])
         extra = ""
         if self.decoder == "beam":
-            from tpuasr.decode.beam_host import beam_results
-
-            final = beam_results(self._beams, self.alphabet,
-                                 lm=self._beam_kw["lm"],
-                                 alpha=self._beam_kw["alpha"],
-                                 beta=self._beam_kw["beta"])[0][0]
             committed = "".join(self._text_parts)  # includes drained
-            if final.startswith(committed):
-                extra = final[len(committed):]
-                if extra:
-                    self._text_parts.append(extra)
-            else:  # rare retraction: the final text is authoritative
+            extra, final = _beam_final(self._beams, committed,
+                                       self.alphabet, self._beam_kw)
+            if extra and final.startswith(committed):
+                self._text_parts.append(extra)
+            elif not final.startswith(committed):
+                # rare retraction: the final text is authoritative
                 self._text_parts = [final]
-                drained, extra = [], final
+                drained = []
         self._closed = True
         return "".join(drained) + extra
 
@@ -515,30 +554,11 @@ class StreamingTranscriber:
             lo = max(0, -base_w)
             hi = min(self._delta, t1 - base_w)
             if self.decoder == "beam" and hi > lo:
-                from tpuasr.decode.beam_host import beam_step
-
-                for j in range(lo, hi):
-                    row = rows[j].astype(np.float64)
-                    lp = row - np.log(np.sum(np.exp(row - row.max()))) \
-                        - row.max()
-                    self._beams = beam_step(self._beams, lp,
-                                            self.alphabet,
-                                            **self._beam_kw)
-                # stable prefix = common to every live beam
-                keys = list(self._beams.keys())
-                lcp = keys[0]
-                for k2 in keys[1:]:
-                    n = 0
-                    for a, b2 in zip(lcp, k2):
-                        if a != b2:
-                            break
-                        n += 1
-                    lcp = lcp[:n]
-                if (len(lcp) > len(self._committed)
-                        and lcp[:len(self._committed)] == self._committed):
-                    new_text.append(self.alphabet.decode(
-                        lcp[len(self._committed):]))
-                    self._committed = lcp
+                frag0, self._beams, self._committed = _beam_emit(
+                    self._beams, self._committed, rows, lo, hi,
+                    self.alphabet, self._beam_kw)
+                if frag0:
+                    new_text.append(frag0)
             else:
                 frag0, self._last_id = _greedy_emit(
                     rows, lo, hi, self._last_id, self.alphabet.labels,
@@ -566,7 +586,7 @@ class _StreamSlot:
 
     __slots__ = ("pending", "lead", "recent", "n_samples", "k", "last_id",
                  "parts", "fresh", "emitted", "draining", "t_f", "t1",
-                 "closed")
+                 "closed", "beams", "committed")
 
     def __init__(self):
         self.pending = np.zeros((0,), np.float32)
@@ -582,6 +602,8 @@ class _StreamSlot:
         self.t_f = 0
         self.t1 = 0
         self.closed = False
+        self.beams = None       # beam mode: live prefix-beam dict
+        self.committed: tuple = ()  # beam mode: stable emitted prefix
 
 
 class MultiStreamTranscriber:
@@ -612,9 +634,21 @@ class MultiStreamTranscriber:
 
     def __init__(self, variables, model_cfg: ModelConfig,
                  frontend_cfg: FrontendConfig, alphabet,
-                 max_streams: int = 8, chunk_frames: int = 32):
+                 max_streams: int = 8, chunk_frames: int = 32,
+                 decoder: str = "greedy", lm=None, alpha: float = 0.8,
+                 beta: float = 1.0, beam_width: int = 10,
+                 cutoff_top_n: int = 40, cutoff_prob: float = 1.0,
+                 prune_logp: float = -20.0):
+        """``decoder="beam"`` runs an incremental host prefix-beam per
+        stream over the shared batched logits (optionally with word-LM
+        shallow fusion via ``lm``); ticks emit each stream's stable
+        common-prefix text, flush finalizes with the best beam (same
+        semantics as StreamingTranscriber's beam mode, incl. the rare
+        retraction where flush's full text is authoritative)."""
         if model_cfg.bidirectional:
             raise ValueError("streaming needs a unidirectional model")
+        if decoder not in ("greedy", "beam"):
+            raise ValueError(f"decoder must be greedy|beam, got {decoder!r}")
         self.cfg = model_cfg
         self.fe = frontend_cfg
         self.alphabet = alphabet
@@ -622,6 +656,11 @@ class MultiStreamTranscriber:
         self.chunk_frames = chunk_frames
         self.max_streams = max_streams
         self.variables = variables
+        self.decoder = decoder
+        self._beam_kw = dict(beam_width=beam_width, lm=lm, alpha=alpha,
+                             beta=beta, cutoff_top_n=cutoff_top_n,
+                             cutoff_prob=cutoff_prob,
+                             prune_logp=prune_logp)
         self._step, self._delta, self._d1, self._d2 = _build_step(
             model_cfg, frontend_cfg, chunk_frames
         )
@@ -656,6 +695,10 @@ class MultiStreamTranscriber:
             if s is None:
                 slot = _StreamSlot()
                 slot.last_id = self.blank_id
+                if self.decoder == "beam":
+                    from tpuasr.decode.beam_host import beam_init
+
+                    slot.beams = beam_init()
                 self._slots[i] = slot
                 keep = np.ones((self.max_streams,), bool)
                 keep[i] = False
@@ -729,9 +772,14 @@ class MultiStreamTranscriber:
             lo = max(0, -base_w)
             hi = min(self._delta, cap - base_w)
             if hi > lo:
-                frag, s.last_id = _greedy_emit(
-                    rows_all[i], lo, hi, s.last_id,
-                    self.alphabet.labels, self.blank_id)
+                if self.decoder == "beam":
+                    frag, s.beams, s.committed = _beam_emit(
+                        s.beams, s.committed, rows_all[i], lo, hi,
+                        self.alphabet, self._beam_kw)
+                else:
+                    frag, s.last_id = _greedy_emit(
+                        rows_all[i], lo, hi, s.last_id,
+                        self.alphabet.labels, self.blank_id)
                 if frag:
                     s.parts.append(frag)
                     s.fresh.append(frag)
@@ -773,6 +821,19 @@ class MultiStreamTranscriber:
                 s.pending = np.concatenate(
                     [s.pending, np.zeros((s_chunk,), np.float32)])
             self.tick()
+        if self.decoder == "beam":
+            committed_text = "".join(s.parts)
+            extra, final = _beam_final(s.beams, committed_text,
+                                       self.alphabet, self._beam_kw)
+            if final.startswith(committed_text):
+                if extra:
+                    s.parts.append(extra)
+                    s.fresh.append(extra)
+            else:  # rare retraction: the final text is authoritative
+                s.parts = [final]
+                s.fresh = [final]
+                s.closed = True
+                return final
         s.closed = True
         return "".join(s.parts[before:])
 
