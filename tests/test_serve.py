@@ -228,3 +228,54 @@ def test_stream_sessions_http(uni_ckpt):
     finally:
         server.shutdown()
         svc.close()
+
+
+def test_stream_sessions_concurrent_threads(uni_ckpt):
+    """4 truly concurrent client threads against the shared ticker:
+    catches lock races between feed/tick/finish. Each session's final
+    text must equal a single-stream run of its own audio."""
+    from tpuasr.serve import StreamServeConfig, StreamSessionService
+    from tpuasr.stream import StreamingTranscriber
+    from tpuasr.train.checkpoint import load_checkpoint
+
+    pkg = load_checkpoint(uni_ckpt)
+    variables = {"params": pkg.variables["params"],
+                 "batch_stats": pkg.variables["batch_stats"]}
+    rng = np.random.RandomState(11)
+    waves = [(0.2 * rng.randn(7000 + 2500 * j)).astype(np.float32)
+             for j in range(4)]
+    want = []
+    for w in waves:
+        st = StreamingTranscriber(variables, pkg.model_config,
+                                  pkg.frontend_config, pkg.alphabet,
+                                  chunk_frames=16)
+        st.feed(w)
+        st.flush()
+        want.append(st.text)
+
+    svc = StreamSessionService(
+        uni_ckpt, StreamServeConfig(max_streams=4, chunk_frames=16,
+                                    idle_sleep_ms=1.0))
+    finals = [None] * 4
+    errors = []
+
+    def client(j):
+        try:
+            sid = svc.open()
+            for off in range(0, len(waves[j]), 1500):
+                svc.feed(sid, waves[j][off:off + 1500])
+            finals[j] = svc.finish(sid)
+        except Exception as e:  # pragma: no cover
+            errors.append((j, repr(e)))
+
+    try:
+        threads = [threading.Thread(target=client, args=(j,))
+                   for j in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        assert not errors, errors
+        assert finals == want
+    finally:
+        svc.close()
