@@ -1,0 +1,103 @@
+"""Tensor-parallel (dp x tp) training on a 2D (data, model) mesh.
+
+The RNN gate matrices shard their gate axis over ``model``; GSPMD
+partitions the SAME jitted train step (no code fork), so the dp x tp
+trajectory must equal the single-device run up to f32 reduction order.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from tpuasr.audio.frontend import FrontendConfig
+from tpuasr.labels import Alphabet
+from tpuasr.model.ds2 import ModelConfig
+from tpuasr.train.mesh import (MODEL_AXIS, make_mesh, param_sharding_specs,
+                               shard_batch, shard_params)
+from tpuasr.train.step import (TrainConfig, TrainState, init_train_state,
+                               make_train_step)
+
+
+def _data(b=8, n=8000, seed=0):
+    rng = np.random.RandomState(seed)
+    return (
+        jnp.asarray(rng.randn(b, n).astype(np.float32) * 0.1),
+        jnp.asarray(np.full((b,), n, np.int32)),
+        jnp.asarray(rng.randint(1, 29, (b, 12)).astype(np.int32)),
+        jnp.asarray(np.full((b,), 12, np.int32)),
+        jnp.ones((b,), bool),
+    )
+
+
+def test_param_sharding_specs_rules():
+    mc = ModelConfig(n_classes=30, hidden_size=32, hidden_layers=2,
+                     compute_dtype=jnp.float32)
+    state = init_train_state(mc, TrainConfig(), jax.random.PRNGKey(0))
+    mesh = make_mesh(jax.devices()[:8], tp=4)
+    specs = param_sharding_specs(mesh, state.params)
+    assert specs["rnn0"]["bi"]["recurrent_kernel"] == \
+        P(None, None, MODEL_AXIS)
+    assert specs["rnn0"]["bi"]["input_bias"] == P(None, MODEL_AXIS)
+    assert specs["head"]["kernel"] == P()
+    assert specs["conv0"]["Conv_0"]["kernel"] == P()
+    # optimizer momentum mirrors the params tree -> same rules apply
+    opt_specs = param_sharding_specs(mesh, state.opt_state)
+    leaves = jax.tree.leaves(
+        opt_specs, is_leaf=lambda x: isinstance(x, P))
+    assert any(s == P(None, None, MODEL_AXIS) for s in leaves)
+    # 1-axis mesh: everything replicated
+    dp_specs = param_sharding_specs(make_mesh(jax.devices()[:8]),
+                                    state.params)
+    assert all(s == P() for s in jax.tree.leaves(
+        dp_specs, is_leaf=lambda x: isinstance(x, P)))
+
+
+@pytest.mark.parametrize("tp", [4, 8])
+def test_tp_train_matches_single_device(tp):
+    alphabet = Alphabet()
+    fe = FrontendConfig()
+    mc = ModelConfig(n_classes=alphabet.size, hidden_size=32,
+                     hidden_layers=2, compute_dtype=jnp.float32)
+    tc = TrainConfig()
+    step = make_train_step(mc, fe, tc)
+    data = _data()
+
+    losses0 = []
+    s = init_train_state(mc, tc, jax.random.PRNGKey(0))
+    for i in range(3):
+        s, m = step(s, *data, jnp.float32(3e-4), jax.random.PRNGKey(i))
+        losses0.append(float(m["loss"]))
+
+    mesh = make_mesh(jax.devices()[:8], tp=tp)
+    s1 = init_train_state(mc, tc, jax.random.PRNGKey(0))
+    s1 = TrainState(
+        params=shard_params(mesh, s1.params),
+        batch_stats=jax.tree.map(
+            lambda x: jax.device_put(
+                x, jax.sharding.NamedSharding(mesh, P())), s1.batch_stats),
+        opt_state=shard_params(mesh, s1.opt_state),
+        step=s1.step,
+    )
+    sharded_data = shard_batch(mesh, data)
+    losses1 = []
+    for i in range(3):
+        s1, m = step(s1, *sharded_data, jnp.float32(3e-4),
+                     jax.random.PRNGKey(i))
+        losses1.append(float(m["loss"]))
+
+    np.testing.assert_allclose(losses1, losses0, rtol=3e-4)
+    # the gate matrices really are distributed over `model`
+    rk = s1.params["rnn0"]["bi"]["recurrent_kernel"]
+    assert rk.sharding.spec == P(None, None, MODEL_AXIS)
+    assert len(rk.sharding.device_set) == 8
+
+
+def test_make_mesh_tp_validates():
+    with pytest.raises(ValueError, match="divisible"):
+        make_mesh(jax.devices()[:6], tp=4)
+    mesh = make_mesh(jax.devices()[:8], tp=2)
+    assert mesh.axis_names == ("data", MODEL_AXIS)
+    assert mesh.devices.shape == (4, 2)

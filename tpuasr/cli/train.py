@@ -99,6 +99,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="coordinator address for multi-host JAX")
     p.add_argument("--dist-backend", default="ici",
                    help="accepted for compatibility")
+    p.add_argument("--mesh-tp", type=int, default=1,
+                   help="tensor-parallel degree: >1 builds a 2D "
+                   "(data, model) mesh and shards the RNN gate "
+                   "matrices over `model` (GSPMD inserts the "
+                   "collectives); device count must be divisible")
     p.add_argument("--transfer-dtype", default="int16",
                    choices=["int16", "float32"],
                    help="wave batch dtype for host->device transfer "
@@ -124,6 +129,16 @@ def main(argv=None) -> int:
     alphabet = alphabet_from(args)
     frontend_cfg = frontend_config_from(args)
     model_cfg = model_config_from(args, alphabet, frontend_cfg.n_features)
+    if args.mesh_tp > 1 and (model_cfg.rnn_impl != "scan"
+                             or args.ctc_impl != "scan"):
+        # Pallas custom calls are single-device programs GSPMD cannot
+        # partition over the model axis; TP runs the XLA scan math
+        import dataclasses
+
+        model_cfg = dataclasses.replace(model_cfg, rnn_impl="scan")
+        args.ctc_impl = "scan"
+        print("mesh-tp > 1: rnn/ctc impl -> scan (Pallas kernels are "
+              "not GSPMD-partitionable)", flush=True)
     train_cfg = TrainConfig(
         lr=args.lr, momentum=args.momentum, max_norm=args.max_norm,
         learning_anneal=args.learning_anneal, ctc_impl=args.ctc_impl,
@@ -139,6 +154,7 @@ def main(argv=None) -> int:
         quiet=args.quiet,
         profile_dir=args.profile_dir,
         sync_every=args.sync_every,
+        mesh_tp=args.mesh_tp,
     )
 
     spec = BucketSpec(sample_rate=args.sample_rate)

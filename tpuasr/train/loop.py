@@ -32,7 +32,8 @@ from tpuasr.train.checkpoint import (
 )
 from tpuasr.train.logging import AverageMeter, MetricsLogger
 from tpuasr.train.profiling import StepProfiler
-from tpuasr.train.mesh import make_mesh, shard_batch, replicate
+from tpuasr.train.mesh import (make_mesh, replicate, shard_batch,
+                               shard_params)
 from tpuasr.train.step import (
     TrainConfig,
     TrainState,
@@ -56,6 +57,7 @@ class LoopConfig:
     tensorboard: bool = False
     quiet: bool = False
     use_mesh: bool = True
+    mesh_tp: int = 1  # >1: 2D (data, model) mesh — dp x TENSOR parallel
     profile_dir: str | None = None  # JAX device trace of steps 10-15
     # Host-sync cadence: metrics live on device and are materialized
     # (blocking) only every N steps, so the device never waits on the
@@ -154,7 +156,8 @@ def train(
 ) -> CheckpointPackage:
     logger = MetricsLogger(loop_cfg.log_dir, loop_cfg.tensorboard, loop_cfg.quiet)
     if mesh is None:
-        mesh = make_mesh() if loop_cfg.use_mesh and len(jax.devices()) > 1 else None
+        mesh = (make_mesh(tp=loop_cfg.mesh_tp)
+                if loop_cfg.use_mesh and len(jax.devices()) > 1 else None)
 
     # Per-step randomness is derived as fold_in(base_rng, iteration) —
     # a pure function of (seed, global step) — so a mid-epoch resume
@@ -203,7 +206,15 @@ def train(
             best_wer = pkg.best_wer
 
     if mesh is not None:
-        state = replicate(mesh, state)
+        # 1-axis mesh: replicate (DP). 2D (data, model) mesh: the RNN
+        # gate matrices (and their optimizer momentum, same tree paths)
+        # shard over `model` — combined dp x tp, GSPMD-partitioned.
+        state = TrainState(
+            params=shard_params(mesh, state.params),
+            batch_stats=replicate(mesh, state.batch_stats),
+            opt_state=shard_params(mesh, state.opt_state),
+            step=replicate(mesh, state.step),
+        )
 
     # Epoch-in-a-scan fast path: with a device-resident corpus (the
     # loader exposes bucket_chunks) one dispatch trains a whole

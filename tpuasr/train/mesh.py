@@ -7,6 +7,16 @@ parameters are replicated, and XLA inserts the gradient psum over ICI
 (no hand-written comm layer — SURVEY.md §5.8). Multi-host runs call
 ``jax.distributed.initialize()`` first (``distributed_init``) and feed
 per-host manifest shards (BucketingPlan.sharded_batches).
+
+Beyond reference parity (TPU-native scaling): ``make_mesh(tp=N)``
+builds a 2D (data, model) mesh for combined data + TENSOR parallelism.
+The RNN gate matrices — >95% of the parameters (input_kernel /
+recurrent_kernel, (dirs, I, G*H)) — shard their gate axis over
+``model``; everything else (convs, BN, head) replicates. Activations
+stay batch-sharded; GSPMD inserts the collectives (the
+scaling-book recipe: annotate shardings, let XLA partition). Gradient
+math is unchanged, so dp x tp trajectories equal single-device runs
+bit-for-bit up to reduction order (tests/test_tp.py).
 """
 
 from __future__ import annotations
@@ -16,11 +26,58 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+# param leaves whose LAST axis (the G*H gate axis) shards over `model`
+_TP_SHARDED_LEAVES = frozenset(
+    {"input_kernel", "input_bias", "recurrent_kernel", "recurrent_bias"}
+)
 
 
-def make_mesh(devices=None) -> Mesh:
-    devices = devices if devices is not None else jax.devices()
-    return Mesh(np.asarray(devices), (DATA_AXIS,))
+def make_mesh(devices=None, tp: int = 1) -> Mesh:
+    """1-axis ``data`` mesh, or a 2D (data, model) mesh when tp > 1."""
+    devices = list(devices if devices is not None else jax.devices())
+    if tp <= 1:
+        return Mesh(np.asarray(devices), (DATA_AXIS,))
+    if len(devices) % tp:
+        raise ValueError(f"{len(devices)} devices not divisible by tp={tp}")
+    grid = np.asarray(devices).reshape(len(devices) // tp, tp)
+    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+
+
+def _leaf_key(path) -> str:
+    last = path[-1]
+    return getattr(last, "key", getattr(last, "name", str(last)))
+
+
+def param_sharding_specs(mesh: Mesh, tree):
+    """PartitionSpec pytree for a params-shaped tree: RNN gate matrices
+    shard their last axis over ``model`` (when present and divisible),
+    everything else replicates. Works on any tree embedding the param
+    names in its paths (raw params AND optax momentum states)."""
+    tp = dict(zip(mesh.axis_names, mesh.devices.shape)).get(MODEL_AXIS, 1)
+
+    def spec(path, leaf):
+        if (
+            tp > 1
+            and hasattr(leaf, "ndim")
+            and leaf.ndim >= 1
+            and _leaf_key(path) in _TP_SHARDED_LEAVES
+            and leaf.shape[-1] % tp == 0
+        ):
+            return P(*([None] * (leaf.ndim - 1)), MODEL_AXIS)
+        return P()
+
+    return jax.tree_util.tree_map_with_path(spec, tree)
+
+
+def shard_params(mesh: Mesh, tree):
+    """device_put a params-shaped tree under the TP sharding rules
+    (falls back to full replication on a 1-axis mesh)."""
+    specs = param_sharding_specs(mesh, tree)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), tree, specs
+    )
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
