@@ -279,3 +279,28 @@ def test_stream_sessions_concurrent_threads(uni_ckpt):
         assert finals == want
     finally:
         svc.close()
+
+
+def test_stream_session_ids_never_recycle(uni_ckpt):
+    """A finished/reaped session's id must go 404-stale, never address
+    the slot's next occupant (generation-stamped sids)."""
+    from tpuasr.serve import StreamServeConfig, StreamSessionService
+
+    svc = StreamSessionService(
+        uni_ckpt, StreamServeConfig(max_streams=1, chunk_frames=16))
+    try:
+        rng = np.random.RandomState(3)
+        w = (0.2 * rng.randn(6000)).astype(np.float32)
+        a = svc.open()
+        svc.feed(a, w)
+        svc.finish(a)
+        b = svc.open()  # same physical slot, NEW id
+        assert b != a
+        with pytest.raises(KeyError):
+            svc.feed(a, w)  # stale id cannot touch b's session
+        with pytest.raises(KeyError):
+            svc.finish(a)
+        svc.feed(b, w)
+        assert isinstance(svc.finish(b), str)
+    finally:
+        svc.close()

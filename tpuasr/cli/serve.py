@@ -52,8 +52,9 @@ def main(argv=None) -> int:
 
     from tpuasr.train.checkpoint import load_checkpoint
 
-    alphabet = load_checkpoint(args.model_path).alphabet
-    decoder = build_decoder(args, alphabet)
+    # one checkpoint load + one device upload, shared by both services
+    pkg = load_checkpoint(args.model_path)
+    decoder = build_decoder(args, pkg.alphabet)
     service = TranscriptionService(
         args.model_path,
         ServeConfig(max_batch=args.max_batch,
@@ -63,6 +64,7 @@ def main(argv=None) -> int:
                     chunk_overlap=args.chunk_overlap),
         decoder=decoder,
         rnn_impl=getattr(args, "rnn_impl", None),
+        package=pkg,
     )
     stream_service = None
     if args.streaming:
@@ -80,6 +82,8 @@ def main(argv=None) -> int:
                 beam_width=args.beam_width,
                 cutoff_top_n=args.cutoff_top_n,
                 cutoff_prob=args.cutoff_prob),
+            package=pkg,
+            variables=service.variables,
         )
     server = make_http_server(service, args.host, args.port,
                               stream_service=stream_service)

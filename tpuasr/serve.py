@@ -55,7 +55,7 @@ class TranscriptionService:
     """Checkpoint -> ready-to-serve transcriber with micro-batching."""
 
     def __init__(self, model_path: str, cfg: ServeConfig | None = None,
-                 decoder=None, rnn_impl: str | None = None):
+                 decoder=None, rnn_impl: str | None = None, package=None):
         import jax.numpy as jnp
 
         from tpuasr.data.buckets import BucketSpec
@@ -64,7 +64,7 @@ class TranscriptionService:
         from tpuasr.train.step import make_eval_step
 
         self.cfg = cfg or ServeConfig()
-        pkg = load_checkpoint(model_path)
+        pkg = package if package is not None else load_checkpoint(model_path)
         model_cfg = pkg.model_config
         if rnn_impl:
             import dataclasses
@@ -77,6 +77,7 @@ class TranscriptionService:
             "batch_stats": pkg.variables["batch_stats"],
         }
         self._variables = _tree_device(self._variables)
+        self.package = pkg  # share with a StreamSessionService
         self._eval_step = make_eval_step(model_cfg, self.frontend_cfg)
         self.decoder = decoder or GreedyDecoder(self.alphabet)
         self.spec = BucketSpec(sample_rate=self.frontend_cfg.sample_rate)
@@ -107,6 +108,12 @@ class TranscriptionService:
         self.decoder.decode(logits, out_lengths, return_offsets=True)
 
     # ---------- public API ----------
+
+    @property
+    def variables(self):
+        """Device-resident {params, batch_stats} (read-only; shareable
+        with a StreamSessionService to avoid a second upload)."""
+        return self._variables
 
     def transcribe_wave(self, wave: np.ndarray, timeout: float = 60.0):
         """Blocking single-utterance call (thread-safe): enqueue and
@@ -273,31 +280,39 @@ class StreamSessionService:
     cost of one). feed() only buffers + reads back already-finalized
     text, so request latency never includes device work.
 
-    Requires a unidirectional (streaming-capable) checkpoint; greedy
-    decode (see MultiStreamTranscriber). Offline batch requests can be
-    served by a TranscriptionService alongside — dispatches interleave
-    safely on one chip.
+    Requires a unidirectional (streaming-capable) checkpoint; decode
+    greedy or per-session beam(+LM) (see MultiStreamTranscriber).
+    Offline batch requests can be served by a TranscriptionService
+    alongside — dispatches interleave safely on one chip; pass its
+    ``package=`` so the checkpoint is loaded (and uploaded) once.
+
+    Session ids are generation-stamped (``gen * max_streams + slot``):
+    a reaped or finished session's id can never address the slot's next
+    occupant, so a stale client's late feed/close gets 404 instead of
+    hijacking another session.
     """
 
     def __init__(self, model_path: str,
-                 cfg: StreamServeConfig | None = None):
+                 cfg: StreamServeConfig | None = None, package=None,
+                 variables=None):
         # (no rnn_impl knob: the streaming step is its own scan math,
         # independent of the offline model's rnn_impl selection)
         from tpuasr.stream import MultiStreamTranscriber
         from tpuasr.train.checkpoint import load_checkpoint
 
         self.cfg = cfg or StreamServeConfig()
-        pkg = load_checkpoint(model_path)
+        pkg = package if package is not None else load_checkpoint(model_path)
         model_cfg = pkg.model_config
         if model_cfg.bidirectional:
             raise ValueError(
                 "streaming sessions need a unidirectional checkpoint "
                 "(bidirectional=False, e.g. --no-bidirectional training)")
         self.sample_rate = pkg.frontend_config.sample_rate
-        variables = _tree_device({
-            "params": pkg.variables["params"],
-            "batch_stats": pkg.variables["batch_stats"],
-        })
+        if variables is None:  # share a TranscriptionService's copy
+            variables = _tree_device({
+                "params": pkg.variables["params"],
+                "batch_stats": pkg.variables["batch_stats"],
+            })
         lm = None
         if self.cfg.decoder == "beam" and self.cfg.lm_path:
             from tpuasr.decode.lm import load_lm
@@ -312,6 +327,8 @@ class StreamSessionService:
             cutoff_top_n=self.cfg.cutoff_top_n,
             cutoff_prob=self.cfg.cutoff_prob)
         self._lock = threading.Lock()
+        self._sessions: dict[int, int] = {}  # public sid -> slot
+        self._gen = 0  # generation stamp: sids never repeat
         self._last_seen: dict[int, float] = {}
         self._stop = threading.Event()
         # warm the step graph BEFORE sessions arrive (one compile ever)
@@ -331,7 +348,10 @@ class StreamSessionService:
     def open(self) -> int:
         with self._lock:
             self._reap()
-            sid = self._mst.open()
+            slot = self._mst.open()
+            self._gen += 1
+            sid = self._gen * self.cfg.max_streams + slot
+            self._sessions[sid] = slot
             self._last_seen[sid] = time.time()
             return sid
 
@@ -339,16 +359,18 @@ class StreamSessionService:
         """Buffer samples; return text finalized so far this session
         (decode happens on the shared ticker thread)."""
         with self._lock:
-            self._mst.feed(sid, samples)
+            self._mst.feed(self._slot(sid), samples)
             self._last_seen[sid] = time.time()
-            return self._mst.take_text(sid)
+            return self._mst.take_text(self._slot(sid))
 
     def finish(self, sid: int) -> str:
         """Drain + close the session; returns the FULL final text."""
         with self._lock:
-            self._mst.flush(sid)
-            text = self._mst.text(sid)
-            self._mst.close(sid)
+            slot = self._slot(sid)
+            self._mst.flush(slot)
+            text = self._mst.text(slot)
+            self._mst.close(slot)
+            self._sessions.pop(sid, None)
             self._last_seen.pop(sid, None)
             return text
 
@@ -358,20 +380,34 @@ class StreamSessionService:
 
     # ---- internals --------------------------------------------------------
 
+    def _slot(self, sid: int) -> int:
+        """Session id -> live slot; stale/unknown ids get KeyError
+        (-> HTTP 404), never another session's slot."""
+        if sid not in self._sessions:
+            raise KeyError(f"no open stream {sid}")
+        return self._sessions[sid]
+
     def _reap(self) -> None:
         now = time.time()
         for sid, seen in list(self._last_seen.items()):
             if now - seen > self.cfg.session_timeout_s:
                 try:
-                    self._mst.close(sid)
+                    self._mst.close(self._sessions[sid])
                 except KeyError:
                     pass
+                self._sessions.pop(sid, None)
                 self._last_seen.pop(sid, None)
 
     def _tick_loop(self) -> None:
         while not self._stop.is_set():
-            with self._lock:
-                stepped = self._mst.tick()
+            try:
+                with self._lock:
+                    stepped = self._mst.tick()
+            except Exception as exc:  # never let the shared ticker die
+                print(f"stream ticker error (retrying): {exc!r}",
+                      flush=True)
+                time.sleep(0.2)
+                continue
             if not stepped:
                 time.sleep(self.cfg.idle_sleep_ms / 1e3)
 

@@ -367,31 +367,40 @@ def _build_step(model_cfg: ModelConfig, frontend_cfg: FrontendConfig,
                   new_labuf, new_hs, n_cnt, n_sum, n_sq)
         if active is not None:
             # freeze idle rows bit-exactly (multi-stream ticks step
-            # every row; only rows with real data may advance). hs
-            # leaves carry batch on axis 0 (gru/rnn: (B,H)) or axis 1
-            # (lstm: (2,B,H)); everything else on axis 0.
-            act = active.astype(bool)
-
-            def sel(new, old, axis=0):
-                m = jnp.reshape(act, (-1,) + (1,) * (new.ndim - 1 - axis))
-                return jnp.where(jnp.expand_dims(m, tuple(range(axis)))
-                                 if axis else m, new, old)
-
-            h_axis = 1 if cfg.rnn_type == "lstm" else 0
+            # every row; only rows with real data may advance). The
             # old values come from the INPUT carry tuple — the local
             # n_cnt/n_sum/n_sq names were reassigned by the normalize
-            # update above and would alias the new values here
-            carry1 = (
-                sel(carry1[0], carry[0]), sel(carry1[1], carry[1]),
-                sel(carry1[2], carry[2]),
-                [sel(n, o, axis=h_axis)
-                 for n, o in zip(new_hs, carry[3])],
-                sel(carry1[4], carry[4]), sel(carry1[5], carry[5]),
-                sel(carry1[6], carry[6]),
-            )
+            # update above and would alias the new values here.
+            carry1 = _carry_rows_select(
+                active.astype(bool), carry1, carry,
+                lstm=cfg.rnn_type == "lstm")
         return logits, carry1
 
     return jax.jit(step), delta, d1, d2
+
+
+def _carry_rows_select(keep, carry_new, carry_old, lstm: bool):
+    """Per-row select between two streaming carries: row b of the
+    result takes carry_new where keep[b] else carry_old. hs leaves
+    carry batch on axis 0 (gru/rnn: (B,H)) or axis 1 (lstm: (2,B,H));
+    everything else on axis 0. The single source of truth for the
+    carry layout's batch axes (used by the step's idle-row freeze AND
+    slot-reuse row reset)."""
+    def sel(new, old, axis=0):
+        m = jnp.reshape(keep, (-1,) + (1,) * (new.ndim - 1 - axis))
+        if axis:
+            m = jnp.expand_dims(m, tuple(range(axis)))
+        return jnp.where(m, new, old)
+
+    h_axis = 1 if lstm else 0
+    return (
+        sel(carry_new[0], carry_old[0]), sel(carry_new[1], carry_old[1]),
+        sel(carry_new[2], carry_old[2]),
+        [sel(n, o, axis=h_axis)
+         for n, o in zip(carry_new[3], carry_old[3])],
+        sel(carry_new[4], carry_old[4]), sel(carry_new[5], carry_old[5]),
+        sel(carry_new[6], carry_old[6]),
+    )
 
 
 class StreamingTranscriber:
@@ -624,10 +633,11 @@ class MultiStreamTranscriber:
     >>> while mst.tick(): pass
     >>> mst.flush(a); mst.text(a)
 
-    Greedy decode only (host beam fusion remains a single-stream
-    feature: its per-stream Python beam state dominates multi-stream
-    host cost). Thread safety is the caller's job (serve.py holds one
-    lock around feed/tick/flush).
+    Decode is greedy (default) or an incremental host prefix-beam per
+    stream (``decoder="beam"``, optional word-LM ``lm`` — see __init__;
+    note the per-stream Python beam state adds host cost per tick).
+    Thread safety is the caller's job (serve.py holds one lock around
+    feed/tick/flush).
     """
 
     _SENTINEL = 1 << 30
@@ -672,17 +682,10 @@ class MultiStreamTranscriber:
 
         @jax.jit
         def reset_rows(carry, keep):
-            """Zero the carry rows where ``keep`` is False."""
-            def z(x, axis=0):
-                m = jnp.reshape(keep, (-1,) + (1,) * (x.ndim - 1 - axis))
-                if axis:
-                    m = jnp.expand_dims(m, tuple(range(axis)))
-                return jnp.where(m, x, jnp.zeros_like(x))
-
-            fbuf, c1buf, labuf, hs, a, b, c = carry
-            h_axis = 1 if lstm else 0
-            return (z(fbuf), z(c1buf), z(labuf),
-                    [z(h, h_axis) for h in hs], z(a), z(b), z(c))
+            """Zero the carry rows where ``keep`` is False (same row
+            selection as the step's idle-row freeze)."""
+            zeros = jax.tree.map(jnp.zeros_like, carry)
+            return _carry_rows_select(keep, carry, zeros, lstm=lstm)
 
         self._reset_rows = reset_rows
 
@@ -723,11 +726,6 @@ class MultiStreamTranscriber:
         s.n_samples += len(samples)
         s.recent = np.concatenate([s.recent, samples])[
             -(2 * self.fe.hop + 2):]
-
-    def ready(self) -> bool:
-        s_chunk = self.chunk_frames * self.fe.hop
-        return any(s is not None and not s.closed
-                   and len(s.pending) >= s_chunk for s in self._slots)
 
     def tick(self) -> bool:
         """Run ONE batched step over every stream holding a full chunk.

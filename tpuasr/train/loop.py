@@ -156,8 +156,15 @@ def train(
 ) -> CheckpointPackage:
     logger = MetricsLogger(loop_cfg.log_dir, loop_cfg.tensorboard, loop_cfg.quiet)
     if mesh is None:
-        mesh = (make_mesh(tp=loop_cfg.mesh_tp)
-                if loop_cfg.use_mesh and len(jax.devices()) > 1 else None)
+        can_mesh = loop_cfg.use_mesh and len(jax.devices()) > 1
+        if loop_cfg.mesh_tp > 1 and not can_mesh:
+            # never silently train un-parallel after the CLI already
+            # downgraded kernels "for TP"
+            raise ValueError(
+                f"--mesh-tp {loop_cfg.mesh_tp} needs a multi-device "
+                f"mesh but {len(jax.devices())} device(s) are visible "
+                f"(use_mesh={loop_cfg.use_mesh})")
+        mesh = make_mesh(tp=loop_cfg.mesh_tp) if can_mesh else None
 
     # Per-step randomness is derived as fold_in(base_rng, iteration) —
     # a pure function of (seed, global step) — so a mid-epoch resume
