@@ -141,6 +141,9 @@ struct DecodeConfig {
   float beta = 0.0f;
   int cutoff_top_n = 40;
   float cutoff_prob = 1.0f;
+  // drop candidates with log-prob <= this (parity with the Python
+  // beam_step's prune_logp; blank is always kept)
+  float prune_logp = -1e30f;
 };
 
 // characters since last space -> UTF-8 word string
@@ -175,92 +178,102 @@ std::vector<uint64_t> context_words(const std::vector<int>& prefix, int space,
   return out;
 }
 
-void decode_one(const float* logprobs, int T, int C, const DecodeConfig& cfg,
-                const Lm* lm, const std::vector<std::string>& labels,
-                std::vector<int>* out_ids, float* out_score) {
-  std::unordered_map<std::vector<int>, Beam, PrefixHash> beams;
+using BeamMap = std::unordered_map<std::vector<int>, Beam, PrefixHash>;
+
+BeamMap beams_init() {
+  BeamMap beams;
   Beam root;
   root.pb = 0.0f;
   beams.emplace(std::vector<int>{}, root);
+  return beams;
+}
 
-  std::vector<int> cand(C);
-  for (int t = 0; t < T; ++t) {
-    const float* lp = logprobs + (size_t)t * C;
-    // candidate pruning: top-n + cumulative prob cutoff
-    std::iota(cand.begin(), cand.end(), 0);
-    std::sort(cand.begin(), cand.end(),
-              [&](int a, int b) { return lp[a] > lp[b]; });
-    int keep = C;
-    if (cfg.cutoff_prob < 1.0f) {
-      float cum = 0.0f;
-      for (int i = 0; i < C; ++i) {
-        cum += std::exp(lp[cand[i]]);
-        if (cum >= cfg.cutoff_prob) { keep = i + 1; break; }
-      }
+// One frame of prefix-beam expansion + width pruning (shared by the
+// batch decoder and the incremental session API). ``lp`` = one (C,)
+// row of log-probabilities; ``cand`` is scratch of size >= C.
+void advance(BeamMap& beams, const float* lp, int C,
+             const DecodeConfig& cfg, const Lm* lm,
+             const std::vector<std::string>& labels,
+             std::vector<int>& cand) {
+  // candidate pruning: top-n + cumulative prob cutoff
+  std::iota(cand.begin(), cand.begin() + C, 0);
+  std::sort(cand.begin(), cand.begin() + C,
+            [&](int a, int b) { return lp[a] > lp[b]; });
+  int keep = C;
+  if (cfg.cutoff_prob < 1.0f) {
+    float cum = 0.0f;
+    for (int i = 0; i < C; ++i) {
+      cum += std::exp(lp[cand[i]]);
+      if (cum >= cfg.cutoff_prob) { keep = i + 1; break; }
     }
-    keep = std::min(keep, cfg.cutoff_top_n);
+  }
+  keep = std::min(keep, cfg.cutoff_top_n);
 
-    std::unordered_map<std::vector<int>, Beam, PrefixHash> next;
-    next.reserve(beams.size() * (keep + 1));
+  BeamMap next;
+  next.reserve(beams.size() * (keep + 1));
 
-    for (auto& kv : beams) {
-      const std::vector<int>& prefix = kv.first;
-      const Beam& b = kv.second;
-      float p_tot = lse(b.pb, b.pnb);
-      int last = prefix.empty() ? -1 : prefix.back();
+  for (auto& kv : beams) {
+    const std::vector<int>& prefix = kv.first;
+    const Beam& b = kv.second;
+    float p_tot = lse(b.pb, b.pnb);
+    int last = prefix.empty() ? -1 : prefix.back();
 
-      for (int i = 0; i < keep; ++i) {
-        int c = cand[i];
-        float lpc = lp[c];
-        if (c == cfg.blank) {
-          Beam& e = next[prefix];
-          if (e.prefix.empty() && !prefix.empty()) e.prefix = prefix;
-          e.pb = lse(e.pb, p_tot + lpc);
-          e.lm = b.lm;
-          continue;
-        }
-        float contrib;
-        if (c == last) {
-          Beam& e = next[prefix];
-          if (e.prefix.empty() && !prefix.empty()) e.prefix = prefix;
-          e.pnb = lse(e.pnb, b.pnb + lpc);
-          e.lm = b.lm;
-          contrib = b.pb + lpc;
-        } else {
-          contrib = p_tot + lpc;
-        }
-        std::vector<int> np = prefix;
-        np.push_back(c);
-        float lm_new = b.lm;
-        if (lm && c == cfg.space) {
-          std::string w = last_word(prefix, cfg.space, labels);
-          if (!w.empty()) {
-            auto ctx = context_words(prefix, cfg.space, labels);
-            lm_new += cfg.alpha * lm->score(ctx, token_hash(w)) + cfg.beta;
-          }
-        }
-        Beam& e = next[np];
-        e.prefix = std::move(np);
-        e.pnb = lse(e.pnb, contrib);
-        e.lm = lm_new;
+    for (int i = 0; i < keep; ++i) {
+      int c = cand[i];
+      float lpc = lp[c];
+      if (c != cfg.blank && lpc <= cfg.prune_logp) continue;
+      if (c == cfg.blank) {
+        Beam& e = next[prefix];
+        if (e.prefix.empty() && !prefix.empty()) e.prefix = prefix;
+        e.pb = lse(e.pb, p_tot + lpc);
+        e.lm = b.lm;
+        continue;
       }
+      float contrib;
+      if (c == last) {
+        Beam& e = next[prefix];
+        if (e.prefix.empty() && !prefix.empty()) e.prefix = prefix;
+        e.pnb = lse(e.pnb, b.pnb + lpc);
+        e.lm = b.lm;
+        contrib = b.pb + lpc;
+      } else {
+        contrib = p_tot + lpc;
+      }
+      std::vector<int> np = prefix;
+      np.push_back(c);
+      float lm_new = b.lm;
+      if (lm && c == cfg.space) {
+        std::string w = last_word(prefix, cfg.space, labels);
+        if (!w.empty()) {
+          auto ctx = context_words(prefix, cfg.space, labels);
+          lm_new += cfg.alpha * lm->score(ctx, token_hash(w)) + cfg.beta;
+        }
+      }
+      Beam& e = next[np];
+      e.prefix = std::move(np);
+      e.pnb = lse(e.pnb, contrib);
+      e.lm = lm_new;
     }
-
-    // prune to beam width
-    std::vector<std::pair<float, const std::vector<int>*>> scored;
-    scored.reserve(next.size());
-    for (auto& kv : next) scored.push_back({kv.second.total(), &kv.first});
-    int w = std::min<int>(cfg.beam_width, (int)scored.size());
-    std::partial_sort(scored.begin(), scored.begin() + w, scored.end(),
-                      [](auto& a, auto& b) { return a.first > b.first; });
-    std::unordered_map<std::vector<int>, Beam, PrefixHash> pruned;
-    pruned.reserve(w);
-    for (int i = 0; i < w; ++i) pruned.emplace(*scored[i].second,
-                                               next[*scored[i].second]);
-    beams = std::move(pruned);
   }
 
-  // final word scoring + pick best
+  // prune to beam width
+  std::vector<std::pair<float, const std::vector<int>*>> scored;
+  scored.reserve(next.size());
+  for (auto& kv : next) scored.push_back({kv.second.total(), &kv.first});
+  int w = std::min<int>(cfg.beam_width, (int)scored.size());
+  std::partial_sort(scored.begin(), scored.begin() + w, scored.end(),
+                    [](auto& a, auto& b) { return a.first > b.first; });
+  BeamMap pruned;
+  pruned.reserve(w);
+  for (int i = 0; i < w; ++i) pruned.emplace(*scored[i].second,
+                                             next[*scored[i].second]);
+  beams = std::move(pruned);
+}
+
+// Best beam with the final in-progress word closed against the LM.
+void best_beam(const BeamMap& beams, const DecodeConfig& cfg, const Lm* lm,
+               const std::vector<std::string>& labels,
+               std::vector<int>* out_ids, float* out_score) {
   float best = kNeg;
   const std::vector<int>* best_prefix = nullptr;
   for (auto& kv : beams) {
@@ -268,8 +281,6 @@ void decode_one(const float* logprobs, int T, int C, const DecodeConfig& cfg,
     if (lm && cfg.space >= 0) {
       std::string w = last_word(kv.first, cfg.space, labels);
       if (!w.empty()) {
-        std::vector<int> closed = kv.first;
-        closed.push_back(cfg.space);
         auto ctx = context_words(kv.first, cfg.space, labels);
         total += cfg.alpha * lm->score(ctx, token_hash(w)) + cfg.beta;
       }
@@ -282,6 +293,29 @@ void decode_one(const float* logprobs, int T, int C, const DecodeConfig& cfg,
   if (best_prefix) *out_ids = *best_prefix;
   *out_score = best;
 }
+
+void decode_one(const float* logprobs, int T, int C, const DecodeConfig& cfg,
+                const Lm* lm, const std::vector<std::string>& labels,
+                std::vector<int>* out_ids, float* out_score) {
+  BeamMap beams = beams_init();
+  std::vector<int> cand(C);
+  for (int t = 0; t < T; ++t)
+    advance(beams, logprobs + (size_t)t * C, C, cfg, lm, labels, cand);
+  best_beam(beams, cfg, lm, labels, out_ids, out_score);
+}
+
+// Incremental beam session for live streams (tpuasr.stream): the beam
+// map persists across feed() calls; prefix() reports the stable common
+// prefix of every live beam (what streaming may commit); best()
+// finalizes. One session per stream; not thread-safe (the serving
+// layer holds one lock around ticks).
+struct BeamSession {
+  DecodeConfig cfg;
+  const Lm* lm = nullptr;  // borrowed from tpuasr_lm_load
+  std::vector<std::string> labels;
+  BeamMap beams = beams_init();
+  std::vector<int> cand;
+};
 
 }  // namespace
 
@@ -327,7 +361,7 @@ int tpuasr_beam_decode_batch(
     const float* logprobs, const int* lengths, int B, int T, int C,
     const char* const* labels, int blank, int space, int beam_width,
     void* lm_handle, float alpha, float beta, int cutoff_top_n,
-    float cutoff_prob, int num_threads,
+    float cutoff_prob, float prune_logp, int num_threads,
     int* out_ids /*B x T*/, int* out_lens /*B*/, float* out_scores /*B*/) {
   std::vector<std::string> lab(C);
   for (int i = 0; i < C; ++i) lab[i] = labels[i];
@@ -340,6 +374,7 @@ int tpuasr_beam_decode_batch(
   cfg.beta = beta;
   cfg.cutoff_top_n = cutoff_top_n;
   cfg.cutoff_prob = cutoff_prob;
+  cfg.prune_logp = prune_logp;
 
   auto work = [&](int b) {
     std::vector<int> ids;
@@ -365,6 +400,78 @@ int tpuasr_beam_decode_batch(
     for (auto& th : pool) th.join();
   }
   return 0;
+}
+
+// ---- incremental beam sessions (streaming serving) ----
+
+void* tpuasr_beam_session_new(const char* const* labels, int C, int blank,
+                              int space, int beam_width, void* lm_handle,
+                              float alpha, float beta, int cutoff_top_n,
+                              float cutoff_prob, float prune_logp) {
+  auto* s = new BeamSession();
+  s->labels.resize(C);
+  for (int i = 0; i < C; ++i) s->labels[i] = labels[i];
+  s->lm = static_cast<const Lm*>(lm_handle);
+  s->cfg.blank = blank;
+  s->cfg.space = space;
+  s->cfg.beam_width = beam_width;
+  s->cfg.alpha = alpha;
+  s->cfg.beta = beta;
+  s->cfg.cutoff_top_n = cutoff_top_n;
+  s->cfg.cutoff_prob = cutoff_prob;
+  s->cfg.prune_logp = prune_logp;
+  s->cand.resize(C);
+  return s;
+}
+
+void tpuasr_beam_session_free(void* s) { delete static_cast<BeamSession*>(s); }
+
+void tpuasr_beam_session_reset(void* s) {
+  static_cast<BeamSession*>(s)->beams = beams_init();
+}
+
+// feed R rows of (C,) log-probabilities
+void tpuasr_beam_session_feed(void* sp, const float* logprobs, int R) {
+  auto* s = static_cast<BeamSession*>(sp);
+  int C = (int)s->labels.size();
+  for (int r = 0; r < R; ++r)
+    advance(s->beams, logprobs + (size_t)r * C, C, s->cfg, s->lm, s->labels,
+            s->cand);
+}
+
+// stable common prefix of every live beam; returns its length (<= cap)
+int tpuasr_beam_session_prefix(void* sp, int* out, int cap) {
+  auto* s = static_cast<BeamSession*>(sp);
+  const std::vector<int>* lcp = nullptr;
+  size_t n = 0;
+  for (auto& kv : s->beams) {
+    if (!lcp) {
+      lcp = &kv.first;
+      n = kv.first.size();
+      continue;
+    }
+    size_t m = 0;
+    size_t lim = std::min(n, kv.first.size());
+    while (m < lim && (*lcp)[m] == kv.first[m]) ++m;
+    n = m;
+  }
+  if (!lcp) return 0;
+  int k = (int)std::min<size_t>(n, (size_t)cap);
+  std::copy(lcp->begin(), lcp->begin() + k, out);
+  return k;
+}
+
+// finalized best beam (last partial word closed against the LM);
+// returns its length (<= cap)
+int tpuasr_beam_session_best(void* sp, int* out, int cap, float* score) {
+  auto* s = static_cast<BeamSession*>(sp);
+  std::vector<int> ids;
+  float sc = kNeg;
+  best_beam(s->beams, s->cfg, s->lm, s->labels, &ids, &sc);
+  int k = (int)std::min<size_t>(ids.size(), (size_t)cap);
+  std::copy(ids.begin(), ids.begin() + k, out);
+  if (score) *score = sc;
+  return k;
 }
 
 // Levenshtein distance over int32 token sequences (the reference used

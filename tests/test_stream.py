@@ -288,11 +288,14 @@ def test_multistream_take_text_and_lifecycle():
     assert mst.open() == sid
 
 
-@pytest.mark.parametrize("with_lm", [False, True])
-def test_multistream_beam_matches_single(with_lm):
+@pytest.mark.parametrize("with_lm,beam_impl",
+                         [(False, "host"), (True, "host"),
+                          (False, "native"), (True, "native")])
+def test_multistream_beam_matches_single(with_lm, beam_impl):
     """Multi-stream incremental beam (shared batched step, per-slot
-    host prefix-beam) finalizes to the single-stream beam texts, with
-    and without word-LM fusion."""
+    prefix-beam — Python host impl or the stateful C++ session)
+    finalizes to the single-stream beam texts, with and without
+    word-LM fusion."""
     from tpuasr.decode.lm import train_ngram
     from tpuasr.stream import MultiStreamTranscriber
 
@@ -313,7 +316,10 @@ def test_multistream_beam_matches_single(with_lm):
         singles.append(st.text)
 
     mst = MultiStreamTranscriber(variables, cfg, fe, ABC,
-                                 max_streams=2, chunk_frames=16, **kw)
+                                 max_streams=2, chunk_frames=16,
+                                 beam_impl=beam_impl, **kw)
+    if beam_impl == "native":
+        assert mst._mk_native is not None, "native lib failed to build"
     sids = [mst.open() for _ in waves]
     pos = [0, 0]
     while any(pos[j] < len(waves[j]) for j in range(2)):

@@ -36,6 +36,26 @@ def _load_lib():
     lib.tpuasr_lm_load.restype = ctypes.c_void_p
     lib.tpuasr_lm_load.argtypes = [ctypes.c_char_p]
     lib.tpuasr_lm_free.argtypes = [ctypes.c_void_p]
+    lib.tpuasr_beam_session_new.restype = ctypes.c_void_p
+    lib.tpuasr_beam_session_new.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,  # labels C
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,  # blank space width
+        ctypes.c_void_p,  # lm
+        ctypes.c_float, ctypes.c_float,  # alpha beta
+        ctypes.c_int, ctypes.c_float,  # cutoff_top_n cutoff_prob
+        ctypes.c_float,  # prune_logp
+    ]
+    lib.tpuasr_beam_session_free.argtypes = [ctypes.c_void_p]
+    lib.tpuasr_beam_session_reset.argtypes = [ctypes.c_void_p]
+    lib.tpuasr_beam_session_feed.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int]
+    lib.tpuasr_beam_session_prefix.restype = ctypes.c_int
+    lib.tpuasr_beam_session_prefix.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int), ctypes.c_int]
+    lib.tpuasr_beam_session_best.restype = ctypes.c_int
+    lib.tpuasr_beam_session_best.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float)]
     lib.tpuasr_beam_decode_batch.restype = ctypes.c_int
     lib.tpuasr_beam_decode_batch.argtypes = [
         ctypes.POINTER(ctypes.c_float),  # logprobs
@@ -46,6 +66,7 @@ def _load_lib():
         ctypes.c_void_p,  # lm
         ctypes.c_float, ctypes.c_float,  # alpha beta
         ctypes.c_int, ctypes.c_float,  # cutoff_top_n cutoff_prob
+        ctypes.c_float,  # prune_logp
         ctypes.c_int,  # num_threads
         ctypes.POINTER(ctypes.c_int),  # out_ids
         ctypes.POINTER(ctypes.c_int),  # out_lens
@@ -74,6 +95,92 @@ def write_lm_binary(lm: ArpaLM, path: str) -> None:
             f.write(backoffs.tobytes())
 
 
+class NativeBeamSession:
+    """Stateful incremental prefix-beam in C++ for live streams: the
+    beam map persists across ``feed(logprob_rows)`` calls; ``prefix()``
+    returns the stable common prefix of every live beam (what a stream
+    may commit) and ``best()`` the finalized transcript ids. One
+    session per stream (tpuasr.stream uses it when the native lib is
+    available — same algorithm as the Python beam_step, at C++ speed).
+
+    ``lm`` may be an ArpaLM (converted to the binary hash format in a
+    temp file) or None. Capacity for readouts grows automatically.
+    """
+
+    def __init__(self, alphabet: Alphabet, lm: ArpaLM | None = None,
+                 alpha: float = 0.8, beta: float = 1.0,
+                 beam_width: int = 10, cutoff_top_n: int = 40,
+                 cutoff_prob: float = 1.0, prune_logp: float = -20.0):
+        import tempfile
+
+        lib = _load_lib()
+        self._lib = lib
+        self.alphabet = alphabet
+        self._lm = None
+        if lm is not None:
+            # one binary conversion per distinct LM object, shared by
+            # every session built from it
+            if not hasattr(lm, "_tpuasr_native_handle"):
+                with tempfile.NamedTemporaryFile(
+                        suffix=".tpuasrlm", delete=False) as f:
+                    bin_path = f.name
+                write_lm_binary(lm, bin_path)
+                handle = lib.tpuasr_lm_load(bin_path.encode())
+                os.unlink(bin_path)
+                if not handle:
+                    raise RuntimeError("failed to load LM for native beam")
+                lm._tpuasr_native_handle = handle  # leaked on purpose:
+                # freed only when the process exits (sessions borrow it)
+            self._lm = lm._tpuasr_native_handle
+        labels = [c.encode("utf-8") for c in alphabet.labels]
+        self._labels_arr = (ctypes.c_char_p * len(labels))(*labels)
+        self._handle = lib.tpuasr_beam_session_new(
+            self._labels_arr, len(labels), alphabet.blank_id,
+            alphabet.space_id, beam_width, self._lm,
+            alpha, beta, cutoff_top_n, cutoff_prob, prune_logp)
+        self._cap = 256
+        self._out = np.zeros((self._cap,), np.int32)
+
+    def feed(self, logprob_rows: np.ndarray) -> None:
+        """Advance over (R, C) log-probability rows."""
+        rows = np.ascontiguousarray(logprob_rows, dtype=np.float32)
+        self._lib.tpuasr_beam_session_feed(
+            self._handle,
+            rows.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            rows.shape[0])
+
+    def _read(self, fn, *extra) -> np.ndarray:
+        while True:
+            n = fn(self._handle,
+                   self._out.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+                   self._cap, *extra)
+            if n < self._cap:
+                return self._out[:n].copy()
+            self._cap *= 2
+            self._out = np.zeros((self._cap,), np.int32)
+
+    def prefix(self) -> np.ndarray:
+        """ids of the stable common prefix of all live beams."""
+        return self._read(self._lib.tpuasr_beam_session_prefix)
+
+    def best(self) -> tuple[np.ndarray, float]:
+        """(ids, score) of the finalized best beam."""
+        score = ctypes.c_float(0.0)
+        ids = self._read(self._lib.tpuasr_beam_session_best,
+                         ctypes.byref(score))
+        return ids, float(score.value)
+
+    def reset(self) -> None:
+        self._lib.tpuasr_beam_session_reset(self._handle)
+
+    def __del__(self):
+        if getattr(self, "_handle", None):
+            try:
+                self._lib.tpuasr_beam_session_free(self._handle)
+            except Exception:
+                pass
+
+
 class NativeBeamDecoder:
     """Reference-API host decoder backed by C++ (multi-threaded batch),
     mirroring ctcdecode's CTCBeamDecoder(labels, lm_path, alpha, beta,
@@ -91,6 +198,7 @@ class NativeBeamDecoder:
         cutoff_top_n: int = 40,
         cutoff_prob: float = 1.0,
         num_processes: int = 2,
+        prune_logp: float = -20.0,
     ):
         self.alphabet = alphabet
         self.alpha = alpha
@@ -98,6 +206,7 @@ class NativeBeamDecoder:
         self.beam_width = beam_width
         self.cutoff_top_n = cutoff_top_n
         self.cutoff_prob = cutoff_prob
+        self.prune_logp = prune_logp
         self.num_threads = num_processes
         lib = _load_lib()
         self._lm = None
@@ -145,7 +254,7 @@ class NativeBeamDecoder:
             self.beam_width,
             self._lm,
             self.alpha, self.beta,
-            self.cutoff_top_n, self.cutoff_prob,
+            self.cutoff_top_n, self.cutoff_prob, self.prune_logp,
             self.num_threads,
             out_ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
             out_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),

@@ -595,7 +595,7 @@ class _StreamSlot:
 
     __slots__ = ("pending", "lead", "recent", "n_samples", "k", "last_id",
                  "parts", "fresh", "emitted", "draining", "t_f", "t1",
-                 "closed", "beams", "committed")
+                 "closed", "beams", "committed", "native")
 
     def __init__(self):
         self.pending = np.zeros((0,), np.float32)
@@ -611,8 +611,9 @@ class _StreamSlot:
         self.t_f = 0
         self.t1 = 0
         self.closed = False
-        self.beams = None       # beam mode: live prefix-beam dict
+        self.beams = None       # beam mode (host impl): live beam dict
         self.committed: tuple = ()  # beam mode: stable emitted prefix
+        self.native = None      # beam mode (native impl): C++ session
 
 
 class MultiStreamTranscriber:
@@ -648,17 +649,25 @@ class MultiStreamTranscriber:
                  decoder: str = "greedy", lm=None, alpha: float = 0.8,
                  beta: float = 1.0, beam_width: int = 10,
                  cutoff_top_n: int = 40, cutoff_prob: float = 1.0,
-                 prune_logp: float = -20.0):
-        """``decoder="beam"`` runs an incremental host prefix-beam per
+                 prune_logp: float = -20.0, beam_impl: str = "auto"):
+        """``decoder="beam"`` runs an incremental prefix-beam per
         stream over the shared batched logits (optionally with word-LM
         shallow fusion via ``lm``); ticks emit each stream's stable
         common-prefix text, flush finalizes with the best beam (same
         semantics as StreamingTranscriber's beam mode, incl. the rare
-        retraction where flush's full text is authoritative)."""
+        retraction where flush's full text is authoritative).
+
+        ``beam_impl``: "native" = the stateful C++ session
+        (decode/native.py NativeBeamSession — same algorithm at C++
+        speed, the serving default when the lib builds), "host" = the
+        Python beam_step oracle, "auto" = native with host fallback."""
         if model_cfg.bidirectional:
             raise ValueError("streaming needs a unidirectional model")
         if decoder not in ("greedy", "beam"):
             raise ValueError(f"decoder must be greedy|beam, got {decoder!r}")
+        if beam_impl not in ("auto", "host", "native"):
+            raise ValueError(f"beam_impl must be auto|host|native, "
+                             f"got {beam_impl!r}")
         self.cfg = model_cfg
         self.fe = frontend_cfg
         self.alphabet = alphabet
@@ -671,6 +680,22 @@ class MultiStreamTranscriber:
                              beta=beta, cutoff_top_n=cutoff_top_n,
                              cutoff_prob=cutoff_prob,
                              prune_logp=prune_logp)
+        self._mk_native = None
+        if decoder == "beam" and beam_impl in ("auto", "native"):
+            try:
+                from tpuasr.decode.native import NativeBeamSession
+
+                def mk():
+                    return NativeBeamSession(
+                        alphabet, lm=lm, alpha=alpha, beta=beta,
+                        beam_width=beam_width, cutoff_top_n=cutoff_top_n,
+                        cutoff_prob=cutoff_prob, prune_logp=prune_logp)
+
+                mk()  # probe: builds the lib + converts the LM once
+                self._mk_native = mk
+            except Exception:
+                if beam_impl == "native":
+                    raise
         self._step, self._delta, self._d1, self._d2 = _build_step(
             model_cfg, frontend_cfg, chunk_frames
         )
@@ -699,9 +724,12 @@ class MultiStreamTranscriber:
                 slot = _StreamSlot()
                 slot.last_id = self.blank_id
                 if self.decoder == "beam":
-                    from tpuasr.decode.beam_host import beam_init
+                    if self._mk_native is not None:
+                        slot.native = self._mk_native()
+                    else:
+                        from tpuasr.decode.beam_host import beam_init
 
-                    slot.beams = beam_init()
+                        slot.beams = beam_init()
                 self._slots[i] = slot
                 keep = np.ones((self.max_streams,), bool)
                 keep[i] = False
@@ -770,7 +798,20 @@ class MultiStreamTranscriber:
             lo = max(0, -base_w)
             hi = min(self._delta, cap - base_w)
             if hi > lo:
-                if self.decoder == "beam":
+                if self.decoder == "beam" and s.native is not None:
+                    rows = rows_all[i][lo:hi].astype(np.float32)
+                    m = rows.max(axis=-1, keepdims=True)
+                    lp = rows - m - np.log(
+                        np.sum(np.exp(rows - m), axis=-1, keepdims=True))
+                    s.native.feed(lp)
+                    lcp = tuple(int(x) for x in s.native.prefix())
+                    frag = ""
+                    if (len(lcp) > len(s.committed)
+                            and lcp[:len(s.committed)] == s.committed):
+                        frag = self.alphabet.decode(
+                            list(lcp[len(s.committed):]))
+                        s.committed = lcp
+                elif self.decoder == "beam":
                     frag, s.beams, s.committed = _beam_emit(
                         s.beams, s.committed, rows_all[i], lo, hi,
                         self.alphabet, self._beam_kw)
@@ -821,8 +862,14 @@ class MultiStreamTranscriber:
             self.tick()
         if self.decoder == "beam":
             committed_text = "".join(s.parts)
-            extra, final = _beam_final(s.beams, committed_text,
-                                       self.alphabet, self._beam_kw)
+            if s.native is not None:
+                ids, _ = s.native.best()
+                final = self.alphabet.decode([int(x) for x in ids])
+                extra = (final[len(committed_text):]
+                         if final.startswith(committed_text) else final)
+            else:
+                extra, final = _beam_final(s.beams, committed_text,
+                                           self.alphabet, self._beam_kw)
             if final.startswith(committed_text):
                 if extra:
                     s.parts.append(extra)
