@@ -136,6 +136,22 @@ def _beam_emit(beams, committed: tuple, rows: np.ndarray, lo: int,
     return frag, beams, committed
 
 
+def _native_emit(session, committed: tuple, rows: np.ndarray, lo: int,
+                 hi: int, alphabet):
+    """Advance a NativeBeamSession over finalized logit rows [lo, hi)
+    and emit the newly-stable text (same contract as _beam_emit)."""
+    r = rows[lo:hi].astype(np.float32)
+    m = r.max(axis=-1, keepdims=True)
+    lp = r - m - np.log(np.sum(np.exp(r - m), axis=-1, keepdims=True))
+    session.feed(lp)
+    lcp = tuple(int(x) for x in session.prefix())
+    frag = ""
+    if len(lcp) > len(committed) and lcp[:len(committed)] == committed:
+        frag = alphabet.decode(list(lcp[len(committed):]))
+        committed = lcp
+    return frag, committed
+
+
 def _beam_final(beams, committed_text: str, alphabet, beam_kw: dict):
     """Finalize an incremental beam: best beam text, closing the last
     partial word against the LM. Returns (extra_text, full_text) —
@@ -428,16 +444,18 @@ class StreamingTranscriber:
                  decoder: str = "greedy", lm=None, alpha: float = 0.8,
                  beta: float = 1.0, beam_width: int = 10,
                  cutoff_top_n: int = 40, cutoff_prob: float = 1.0,
-                 prune_logp: float = -20.0):
-        """``decoder="beam"`` runs an incremental host prefix-beam
-        search (optionally with word-LM shallow fusion via ``lm``, an
-        ArpaLM) over the streamed logits: ``feed`` returns the STABLE
-        common prefix of all beams as it extends; ``flush`` finalizes
-        with the best beam (closing the last partial word against the
-        LM). Streamed fragments are provisional in beam mode — in the
-        rare case a later observation overturns the committed prefix,
+                 prune_logp: float = -20.0, beam_impl: str = "auto"):
+        """``decoder="beam"`` runs an incremental prefix-beam search
+        (optionally with word-LM shallow fusion via ``lm``, an ArpaLM)
+        over the streamed logits: ``feed`` returns the STABLE common
+        prefix of all beams as it extends; ``flush`` finalizes with
+        the best beam (closing the last partial word against the LM).
+        Streamed fragments are provisional in beam mode — in the rare
+        case a later observation overturns the committed prefix,
         ``flush`` returns the corrected full text and ``.text`` is
-        always the authoritative transcript."""
+        always the authoritative transcript. ``beam_impl``: "native"
+        (stateful C++ session) / "host" (Python beam_step) / "auto"
+        (native with host fallback)."""
         self.cfg = model_cfg
         self.fe = frontend_cfg
         self.alphabet = alphabet
@@ -452,6 +470,25 @@ class StreamingTranscriber:
                              beta=beta, cutoff_top_n=cutoff_top_n,
                              cutoff_prob=cutoff_prob,
                              prune_logp=prune_logp)
+        if beam_impl not in ("auto", "host", "native"):
+            raise ValueError(f"beam_impl must be auto|host|native, "
+                             f"got {beam_impl!r}")
+        self._mk_native = None
+        if decoder == "beam" and beam_impl in ("auto", "native"):
+            try:
+                from tpuasr.decode.native import NativeBeamSession
+
+                def mk():
+                    return NativeBeamSession(
+                        alphabet, lm=lm, alpha=alpha, beta=beta,
+                        beam_width=beam_width, cutoff_top_n=cutoff_top_n,
+                        cutoff_prob=cutoff_prob, prune_logp=prune_logp)
+
+                mk()  # probe: builds the lib + converts the LM once
+                self._mk_native = mk
+            except Exception:
+                if beam_impl == "native":
+                    raise
         self._step, self._delta, self._d1, self._d2 = _build_step(
             model_cfg, frontend_cfg, chunk_frames
         )
@@ -472,10 +509,15 @@ class StreamingTranscriber:
         self._closed = False
         self._rows: list[np.ndarray] = []  # (w, logits) when collecting
         if getattr(self, "decoder", "greedy") == "beam":
-            from tpuasr.decode.beam_host import beam_init
-
-            self._beams = beam_init()
             self._committed: tuple = ()
+            self._native = None
+            self._beams = None
+            if self._mk_native is not None:
+                self._native = self._mk_native()
+            else:
+                from tpuasr.decode.beam_host import beam_init
+
+                self._beams = beam_init()
 
     # ---- streaming --------------------------------------------------------
 
@@ -529,8 +571,14 @@ class StreamingTranscriber:
         extra = ""
         if self.decoder == "beam":
             committed = "".join(self._text_parts)  # includes drained
-            extra, final = _beam_final(self._beams, committed,
-                                       self.alphabet, self._beam_kw)
+            if self._native is not None:
+                ids, _ = self._native.best()
+                final = self.alphabet.decode([int(x) for x in ids])
+                extra = (final[len(committed):]
+                         if final.startswith(committed) else final)
+            else:
+                extra, final = _beam_final(self._beams, committed,
+                                           self.alphabet, self._beam_kw)
             if extra and final.startswith(committed):
                 self._text_parts.append(extra)
             elif not final.startswith(committed):
@@ -563,9 +611,14 @@ class StreamingTranscriber:
             lo = max(0, -base_w)
             hi = min(self._delta, t1 - base_w)
             if self.decoder == "beam" and hi > lo:
-                frag0, self._beams, self._committed = _beam_emit(
-                    self._beams, self._committed, rows, lo, hi,
-                    self.alphabet, self._beam_kw)
+                if self._native is not None:
+                    frag0, self._committed = _native_emit(
+                        self._native, self._committed, rows, lo, hi,
+                        self.alphabet)
+                else:
+                    frag0, self._beams, self._committed = _beam_emit(
+                        self._beams, self._committed, rows, lo, hi,
+                        self.alphabet, self._beam_kw)
                 if frag0:
                     new_text.append(frag0)
             else:
@@ -799,18 +852,9 @@ class MultiStreamTranscriber:
             hi = min(self._delta, cap - base_w)
             if hi > lo:
                 if self.decoder == "beam" and s.native is not None:
-                    rows = rows_all[i][lo:hi].astype(np.float32)
-                    m = rows.max(axis=-1, keepdims=True)
-                    lp = rows - m - np.log(
-                        np.sum(np.exp(rows - m), axis=-1, keepdims=True))
-                    s.native.feed(lp)
-                    lcp = tuple(int(x) for x in s.native.prefix())
-                    frag = ""
-                    if (len(lcp) > len(s.committed)
-                            and lcp[:len(s.committed)] == s.committed):
-                        frag = self.alphabet.decode(
-                            list(lcp[len(s.committed):]))
-                        s.committed = lcp
+                    frag, s.committed = _native_emit(
+                        s.native, s.committed, rows_all[i], lo, hi,
+                        self.alphabet)
                 elif self.decoder == "beam":
                     frag, s.beams, s.committed = _beam_emit(
                         s.beams, s.committed, rows_all[i], lo, hi,
