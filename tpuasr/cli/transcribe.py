@@ -44,6 +44,11 @@ def main(argv=None) -> int:
                    "text fragments as they finalize")
     p.add_argument("--chunk-frames", type=int, default=32,
                    help="streaming: feature frames per step (x10 ms)")
+    p.add_argument("--beam-impl", default="auto",
+                   choices=["auto", "host", "native"],
+                   help="streaming beam engine: stateful C++ session "
+                   "(native), Python beam_step (host), or native with "
+                   "host fallback (auto)")
     add_decoder_args(p)
     add_runtime_args(p)
     args = p.parse_args(argv)
@@ -84,6 +89,7 @@ def main(argv=None) -> int:
                 beam_width=args.beam_width,
                 cutoff_top_n=args.cutoff_top_n,
                 cutoff_prob=args.cutoff_prob,
+                beam_impl=args.beam_impl,
             )
         st = StreamingTranscriber(variables, model_cfg,
                                   pkg.frontend_config, alphabet,
