@@ -182,11 +182,15 @@ def test_transcribe_cli_streaming_matches_offline(tmp_path, capsys):
     assert streamed_beam == offline_beam
 
 
-def test_stream_reset_and_reuse():
+@pytest.mark.parametrize("decoder", ["greedy", "beam"])
+def test_stream_reset_and_reuse(decoder):
+    """reset() must restore a pristine stream — including the native
+    C++ beam session, which is reset in place rather than rebuilt."""
     cfg, fe, model, variables = _setup("gru", 4, seed=9)
     rng = np.random.RandomState(17)
     wave = (rng.randn(9000) * 0.1).astype(np.float32)
-    st = StreamingTranscriber(variables, cfg, fe, ABC, chunk_frames=16)
+    st = StreamingTranscriber(variables, cfg, fe, ABC, chunk_frames=16,
+                              decoder=decoder, beam_width=6)
     st.feed(wave)
     st.flush()
     text1 = st.text

@@ -29,10 +29,19 @@ def _load_lib():
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH):
-        subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+    src = os.path.join(_NATIVE_DIR, "ctc_beam.cpp")
+    stale = os.path.exists(_LIB_PATH) and os.path.exists(src) and (
+        os.path.getmtime(_LIB_PATH) < os.path.getmtime(src))
+    if not os.path.exists(_LIB_PATH) or stale:
+        # a stale .so predating an ABI change (e.g. the beam-session
+        # symbols / prune_logp param) must never be dlopened
+        subprocess.run(["make", "-C", _NATIVE_DIR, "-B"], check=True,
                        capture_output=True)
     lib = ctypes.CDLL(_LIB_PATH)
+    if not hasattr(lib, "tpuasr_beam_session_new"):
+        raise RuntimeError(
+            f"{_LIB_PATH} predates the beam-session ABI and the source "
+            "is unavailable to rebuild — run `make -C native -B`")
     lib.tpuasr_lm_load.restype = ctypes.c_void_p
     lib.tpuasr_lm_load.argtypes = [ctypes.c_char_p]
     lib.tpuasr_lm_free.argtypes = [ctypes.c_void_p]

@@ -77,7 +77,6 @@ class TranscriptionService:
             "batch_stats": pkg.variables["batch_stats"],
         }
         self._variables = _tree_device(self._variables)
-        self.package = pkg  # share with a StreamSessionService
         self._eval_step = make_eval_step(model_cfg, self.frontend_cfg)
         self.decoder = decoder or GreedyDecoder(self.alphabet)
         self.spec = BucketSpec(sample_rate=self.frontend_cfg.sample_rate)

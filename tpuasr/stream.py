@@ -140,8 +140,8 @@ def _native_emit(session, committed: tuple, rows: np.ndarray, lo: int,
                  hi: int, alphabet):
     """Advance a NativeBeamSession over finalized logit rows [lo, hi)
     and emit the newly-stable text (same contract as _beam_emit)."""
-    r = rows[lo:hi].astype(np.float32)
-    m = r.max(axis=-1, keepdims=True)
+    r = rows[lo:hi].astype(np.float64)  # normalize in f64 like the
+    m = r.max(axis=-1, keepdims=True)   # host path; feed casts to f32
     lp = r - m - np.log(np.sum(np.exp(r - m), axis=-1, keepdims=True))
     session.feed(lp)
     lcp = tuple(int(x) for x in session.prefix())
@@ -150,6 +150,33 @@ def _native_emit(session, committed: tuple, rows: np.ndarray, lo: int,
         frag = alphabet.decode(list(lcp[len(committed):]))
         committed = lcp
     return frag, committed
+
+
+def _native_session_factory(decoder: str, beam_impl: str, alphabet,
+                            beam_kw: dict):
+    """Factory for stateful C++ beam sessions (None = use the Python
+    host beam). "auto" probes one construction — lib build + one-time
+    LM conversion — and falls back silently; "native" raises on
+    failure."""
+    if decoder != "beam" or beam_impl == "host":
+        return None
+    try:
+        from tpuasr.decode.native import NativeBeamSession
+
+        def mk():
+            return NativeBeamSession(
+                alphabet, lm=beam_kw["lm"], alpha=beam_kw["alpha"],
+                beta=beam_kw["beta"], beam_width=beam_kw["beam_width"],
+                cutoff_top_n=beam_kw["cutoff_top_n"],
+                cutoff_prob=beam_kw["cutoff_prob"],
+                prune_logp=beam_kw["prune_logp"])
+
+        mk()  # probe
+        return mk
+    except Exception:
+        if beam_impl == "native":
+            raise
+        return None
 
 
 def _beam_final(beams, committed_text: str, alphabet, beam_kw: dict):
@@ -473,22 +500,8 @@ class StreamingTranscriber:
         if beam_impl not in ("auto", "host", "native"):
             raise ValueError(f"beam_impl must be auto|host|native, "
                              f"got {beam_impl!r}")
-        self._mk_native = None
-        if decoder == "beam" and beam_impl in ("auto", "native"):
-            try:
-                from tpuasr.decode.native import NativeBeamSession
-
-                def mk():
-                    return NativeBeamSession(
-                        alphabet, lm=lm, alpha=alpha, beta=beta,
-                        beam_width=beam_width, cutoff_top_n=cutoff_top_n,
-                        cutoff_prob=cutoff_prob, prune_logp=prune_logp)
-
-                mk()  # probe: builds the lib + converts the LM once
-                self._mk_native = mk
-            except Exception:
-                if beam_impl == "native":
-                    raise
+        self._mk_native = _native_session_factory(
+            decoder, beam_impl, alphabet, self._beam_kw)
         self._step, self._delta, self._d1, self._d2 = _build_step(
             model_cfg, frontend_cfg, chunk_frames
         )
@@ -510,11 +523,13 @@ class StreamingTranscriber:
         self._rows: list[np.ndarray] = []  # (w, logits) when collecting
         if getattr(self, "decoder", "greedy") == "beam":
             self._committed: tuple = ()
-            self._native = None
             self._beams = None
-            if self._mk_native is not None:
+            if getattr(self, "_native", None) is not None:
+                self._native.reset()  # reuse the C++ session
+            elif self._mk_native is not None:
                 self._native = self._mk_native()
             else:
+                self._native = None
                 from tpuasr.decode.beam_host import beam_init
 
                 self._beams = beam_init()
@@ -733,22 +748,8 @@ class MultiStreamTranscriber:
                              beta=beta, cutoff_top_n=cutoff_top_n,
                              cutoff_prob=cutoff_prob,
                              prune_logp=prune_logp)
-        self._mk_native = None
-        if decoder == "beam" and beam_impl in ("auto", "native"):
-            try:
-                from tpuasr.decode.native import NativeBeamSession
-
-                def mk():
-                    return NativeBeamSession(
-                        alphabet, lm=lm, alpha=alpha, beta=beta,
-                        beam_width=beam_width, cutoff_top_n=cutoff_top_n,
-                        cutoff_prob=cutoff_prob, prune_logp=prune_logp)
-
-                mk()  # probe: builds the lib + converts the LM once
-                self._mk_native = mk
-            except Exception:
-                if beam_impl == "native":
-                    raise
+        self._mk_native = _native_session_factory(
+            decoder, beam_impl, alphabet, self._beam_kw)
         self._step, self._delta, self._d1, self._d2 = _build_step(
             model_cfg, frontend_cfg, chunk_frames
         )
@@ -825,13 +826,14 @@ class MultiStreamTranscriber:
         t1 = np.full((S,), self._SENTINEL, np.int32)
         active = np.zeros((S,), bool)
         for i in ready:
+            # NO slot mutation before the device step succeeds: a
+            # transient step failure (retried by the serving ticker)
+            # must not consume audio or desync lead/k/carry
             s = self._slots[i]
-            take = s.pending[:s_chunk]
-            s.pending = s.pending[s_chunk:]
-            if s.lead is None:
-                s.lead = _first_lead(take, hop)
-            windows[i] = np.concatenate([s.lead, take])
-            s.lead = windows[i][-hop:].copy()
+            lead = s.lead if s.lead is not None \
+                else _first_lead(s.pending[:s_chunk], hop)
+            windows[i, :hop] = lead
+            windows[i, hop:] = s.pending[:s_chunk]
             k[i] = s.k
             active[i] = True
             if s.draining:
@@ -844,6 +846,8 @@ class MultiStreamTranscriber:
         rows_all = np.asarray(logits)
         for i in ready:
             s = self._slots[i]
+            s.pending = s.pending[s_chunk:]
+            s.lead = windows[i, -hop:].copy()
             s.k += 1
             base_w = (s.k - 1) * self._delta - self._d1 - self._d2 \
                 - self._lahead
