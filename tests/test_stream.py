@@ -337,3 +337,34 @@ def test_multistream_beam_matches_single(with_lm, beam_impl):
     for j in range(2):
         mst.flush(sids[j])
         assert mst.text(sids[j]) == singles[j], (j, with_lm)
+
+
+def test_multistream_long_stream_bounded_state():
+    """A 60 s continuous stream decodes identically to the
+    single-stream path, with host-side buffers staying bounded (the
+    live-captions soak case: no recompile, no growth)."""
+    from tpuasr.stream import MultiStreamTranscriber
+
+    cfg, fe, model, variables = _setup("gru", 4, seed=61)
+    rng = np.random.RandomState(67)
+    wave = (rng.randn(60 * 16000) * 0.12).astype(np.float32)
+
+    st = StreamingTranscriber(variables, cfg, fe, ABC, chunk_frames=16)
+    st.feed(wave)
+    st.flush()
+    want = st.text
+
+    mst = MultiStreamTranscriber(variables, cfg, fe, ABC,
+                                 max_streams=2, chunk_frames=16)
+    sid = mst.open()
+    got = ""
+    for off in range(0, len(wave), 48000):  # 3 s blocks, drain as we go
+        mst.feed(sid, wave[off:off + 48000])
+        while mst.tick():
+            pass
+        got += mst.take_text(sid)
+        s = mst._slots[sid]
+        assert len(s.pending) < 16 * fe.hop  # consumed every full chunk
+        assert len(s.recent) <= 2 * fe.hop + 2
+    got += mst.flush(sid)
+    assert got == mst.text(sid) == want
