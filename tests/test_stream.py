@@ -368,3 +368,30 @@ def test_multistream_long_stream_bounded_state():
         assert len(s.recent) <= 2 * fe.hop + 2
     got += mst.flush(sid)
     assert got == mst.text(sid) == want
+
+
+def test_stream_greedy_offsets_match_offline():
+    """Streamed per-character frame offsets equal the offline
+    GreedyDecoder's, single- and multi-stream."""
+    from tpuasr.stream import MultiStreamTranscriber
+
+    cfg, fe, model, variables = _setup("gru", 4, seed=71)
+    rng = np.random.RandomState(73)
+    wave = (rng.randn(15000) * 0.15).astype(np.float32)
+    ref_logits, t1 = _offline(model, variables, fe, wave)
+    texts, offs = GreedyDecoder(ABC).decode(
+        ref_logits[None], np.array([t1], np.int32), return_offsets=True)
+
+    st = StreamingTranscriber(variables, cfg, fe, ABC, chunk_frames=16)
+    st.feed(wave)
+    st.flush()
+    assert st.text == texts[0]
+    np.testing.assert_array_equal(st.offsets, offs[0])
+
+    mst = MultiStreamTranscriber(variables, cfg, fe, ABC,
+                                 max_streams=2, chunk_frames=16)
+    sid = mst.open()
+    mst.feed(sid, wave)
+    mst.flush(sid)
+    assert mst.text(sid) == texts[0]
+    np.testing.assert_array_equal(mst.offsets(sid), offs[0])

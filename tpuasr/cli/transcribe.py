@@ -101,6 +101,8 @@ def main(argv=None) -> int:
             if frag:
                 print(frag, end="", flush=True)
         print(st.flush())
+        if args.offsets and args.decoder != "beam":
+            print(" ".join(map(str, st.offsets)))
         return 0
 
     # Static shapes, bounded compiles (SURVEY.md §5.7): pad up to the

@@ -97,15 +97,21 @@ def _init_carry(cfg: ModelConfig, fe: FrontendConfig, b: int):
 
 
 def _greedy_emit(rows: np.ndarray, lo: int, hi: int, last_id: int,
-                 labels, blank_id: int) -> tuple[str, int]:
-    """CTC greedy collapse over finalized logit rows [lo, hi)."""
-    parts = []
+                 labels, blank_id: int,
+                 base_w: int = 0) -> tuple[str, int, list[int]]:
+    """CTC greedy collapse over finalized logit rows [lo, hi); also
+    reports each emitted character's ABSOLUTE conv-frame offset
+    (base_w + row index — identical to the offline GreedyDecoder's
+    per-character offsets)."""
+    parts: list[str] = []
+    offs: list[int] = []
     for j in range(lo, hi):
         cid = int(np.argmax(rows[j]))
         if cid != blank_id and cid != last_id:
             parts.append(labels[cid])
+            offs.append(base_w + j)
         last_id = cid
-    return "".join(parts), last_id
+    return "".join(parts), last_id, offs
 
 
 def _beam_emit(beams, committed: tuple, rows: np.ndarray, lo: int,
@@ -518,6 +524,7 @@ class StreamingTranscriber:
         self._k = 0
         self._last_id = self.blank_id
         self._text_parts: list[str] = []
+        self._offsets: list[int] = []  # greedy: per-char conv frames
         self._emitted = 0        # conv frames finalized so far
         self._closed = False
         self._rows: list[np.ndarray] = []  # (w, logits) when collecting
@@ -539,6 +546,12 @@ class StreamingTranscriber:
     @property
     def text(self) -> str:
         return "".join(self._text_parts)
+
+    @property
+    def offsets(self) -> np.ndarray:
+        """Per-character conv-frame offsets (greedy decode only — the
+        beam's stable-prefix commits have no single emission frame)."""
+        return np.asarray(self._offsets, np.int64)
 
     def logits(self) -> np.ndarray:
         """(T1, C) assembled logits (requires collect_logits=True)."""
@@ -637,9 +650,10 @@ class StreamingTranscriber:
                 if frag0:
                     new_text.append(frag0)
             else:
-                frag0, self._last_id = _greedy_emit(
+                frag0, self._last_id, offs = _greedy_emit(
                     rows, lo, hi, self._last_id, self.alphabet.labels,
-                    self.blank_id)
+                    self.blank_id, base_w=base_w)
+                self._offsets.extend(offs)
                 if frag0:
                     new_text.append(frag0)
             if hi > lo:
@@ -663,7 +677,7 @@ class _StreamSlot:
 
     __slots__ = ("pending", "lead", "recent", "n_samples", "k", "last_id",
                  "parts", "fresh", "emitted", "draining", "t_f", "t1",
-                 "closed", "beams", "committed", "native")
+                 "closed", "beams", "committed", "native", "offsets")
 
     def __init__(self):
         self.pending = np.zeros((0,), np.float32)
@@ -682,6 +696,7 @@ class _StreamSlot:
         self.beams = None       # beam mode (host impl): live beam dict
         self.committed: tuple = ()  # beam mode: stable emitted prefix
         self.native = None      # beam mode (native impl): C++ session
+        self.offsets: list[int] = []  # greedy: per-char conv frames
 
 
 class MultiStreamTranscriber:
@@ -864,9 +879,11 @@ class MultiStreamTranscriber:
                         s.beams, s.committed, rows_all[i], lo, hi,
                         self.alphabet, self._beam_kw)
                 else:
-                    frag, s.last_id = _greedy_emit(
+                    frag, s.last_id, offs = _greedy_emit(
                         rows_all[i], lo, hi, s.last_id,
-                        self.alphabet.labels, self.blank_id)
+                        self.alphabet.labels, self.blank_id,
+                        base_w=base_w)
+                    s.offsets.extend(offs)
                 if frag:
                     s.parts.append(frag)
                     s.fresh.append(frag)
@@ -877,6 +894,10 @@ class MultiStreamTranscriber:
 
     def text(self, sid: int) -> str:
         return "".join(self._require(sid).parts)
+
+    def offsets(self, sid: int) -> np.ndarray:
+        """Per-character conv-frame offsets (greedy decode only)."""
+        return np.asarray(self._require(sid).offsets, np.int64)
 
     def take_text(self, sid: int) -> str:
         """Newly finalized text since the last take_text/feed cycle."""
