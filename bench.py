@@ -116,9 +116,45 @@ def forward_flops_per_utt(model_cfg, frontend_cfg, n_samples: int) -> float:
     return flops
 
 
+def _init_watchdog(timeout_s: float):
+    """The axon backend init can block EVERY process indefinitely when
+    the TPU tunnel wedges (observed 2026-08-17: 6+ hours). A hung bench
+    helps nobody — after ``timeout_s`` without backend init, print an
+    honest error line and exit hard (os._exit: the main thread is stuck
+    in an uninterruptible C call). Cancelled once devices enumerate."""
+    import os
+    import threading
+
+    done = threading.Event()
+
+    def fire():
+        if done.wait(timeout_s):
+            return
+        print(json.dumps({
+            "metric": "ds2_train_utterances_per_sec_per_chip",
+            "value": 0.0,
+            "unit": "utt/s/chip",
+            "vs_baseline": 0.0,
+            "error": f"JAX backend init exceeded {timeout_s:.0f}s — "
+                     "TPU tunnel wedged (see BASELINE.md round-3-late "
+                     "note); rerun when the tunnel recovers",
+        }), flush=True)
+        os._exit(2)
+
+    threading.Thread(target=fire, daemon=True).start()
+    return done
+
+
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
+    import os as _os
+
+    watchdog_done = _init_watchdog(
+        float(_os.environ.get("TPUASR_BENCH_INIT_TIMEOUT", "900")))
     import jax
+
+    jax.devices()  # blocks here if the tunnel is wedged
+    watchdog_done.set()
 
     # Persistent compile cache: the first TPU compile of the full train
     # step takes minutes via remote compile; cache it across runs.
