@@ -31,6 +31,14 @@ import os as _os
 if _os.environ.get("TPUASR_DEVICE"):
     import jax as _jax
 
+    if _os.environ["TPUASR_DEVICE"] == "cpu":
+        try:
+            # restrict platform discovery too: enumerating devices
+            # otherwise initializes every registered TPU plugin, which
+            # hangs forever when its transport is wedged
+            _jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass  # backends already initialized
     if _os.environ.get("TPUASR_CPU_DEVICES"):
         _jax.config.update(
             "jax_num_cpu_devices", int(_os.environ["TPUASR_CPU_DEVICES"])
