@@ -304,3 +304,62 @@ def test_stream_session_ids_never_recycle(uni_ckpt):
         assert isinstance(svc.finish(b), str)
     finally:
         svc.close()
+
+
+def test_batch_and_stream_services_coexist(uni_ckpt):
+    """A TranscriptionService and a StreamSessionService sharing one
+    loaded checkpoint (cli.serve --streaming wiring) serve concurrent
+    batch calls and live sessions correctly side by side."""
+    from tpuasr.serve import StreamServeConfig, StreamSessionService
+    from tpuasr.stream import StreamingTranscriber
+    from tpuasr.train.checkpoint import load_checkpoint
+
+    pkg = load_checkpoint(uni_ckpt)
+    svc = TranscriptionService(
+        uni_ckpt, ServeConfig(max_batch=2, batch_window_ms=5.0),
+        package=pkg)
+    stream_svc = StreamSessionService(
+        uni_ckpt, StreamServeConfig(max_streams=2, chunk_frames=16),
+        package=pkg, variables=svc.variables)
+    rng = np.random.RandomState(21)
+    wave = (0.2 * rng.randn(9000)).astype(np.float32)
+    st = StreamingTranscriber(
+        {"params": pkg.variables["params"],
+         "batch_stats": pkg.variables["batch_stats"]},
+        pkg.model_config, pkg.frontend_config, pkg.alphabet,
+        chunk_frames=16)
+    st.feed(wave)
+    st.flush()
+    want_stream = st.text
+
+    results = {}
+    errors = []
+
+    def batch_client():
+        try:
+            results["batch"] = svc.transcribe_wave(wave, timeout=120)[0]
+        except Exception as e:  # pragma: no cover
+            errors.append(repr(e))
+
+    def stream_client():
+        try:
+            sid = stream_svc.open()
+            for off in range(0, len(wave), 2000):
+                stream_svc.feed(sid, wave[off:off + 2000])
+            results["stream"] = stream_svc.finish(sid)
+        except Exception as e:  # pragma: no cover
+            errors.append(repr(e))
+
+    try:
+        threads = [threading.Thread(target=batch_client),
+                   threading.Thread(target=stream_client)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=180)
+        assert not errors, errors
+        assert results["stream"] == want_stream
+        assert isinstance(results["batch"], str)
+    finally:
+        stream_svc.close()
+        svc.close()
