@@ -65,6 +65,10 @@ import os
 import numpy as np
 import jax
 
+# cpu-only platform discovery: without this the child initializes the
+# axon TPU plugin and hangs forever whenever the tunnel is wedged
+# (the parent suite is protected by conftest; children are not)
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 2)
 jax.config.update("jax_default_device", "cpu")
 
