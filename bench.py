@@ -52,6 +52,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--streams", type=int, default=1,
                    help="stream mode: concurrent live streams sharing "
                    "one batched step (MultiStreamTranscriber)")
+    p.add_argument("--stream-decoder", default="greedy",
+                   choices=["greedy", "beam"],
+                   help="stream mode: greedy or incremental beam "
+                   "(native C++ sessions) with a small word LM")
     # Default batch = the measured per-chip throughput sweet spot on v5e
     # (BASELINE.md batch-scaling table: 463 utt/s @32, 583 @64, 876
     # @128). The reference family trained at B=20-32 per GPU
@@ -377,18 +381,26 @@ def _bench_stream(args, frontend_cfg, alphabet) -> None:
     state = init_train_state(model_cfg, TrainConfig(), jax.random.PRNGKey(0))
     variables = jax.device_put({"params": state.params,
                                 "batch_stats": state.batch_stats})
+    kw = {}
+    if args.stream_decoder == "beam":
+        from tpuasr.decode.lm import train_ngram
+
+        kw = dict(decoder="beam", beam_width=10, alpha=0.5, beta=0.3,
+                  lm=train_ngram(["ALO MUNDO BOM DIA", "TUDO BEM OLA",
+                                  "BOM DIA ALO MUNDO"], order=3))
     block = args.chunk_frames * frontend_cfg.hop
     rng = np.random.RandomState(0)
     wave = (rng.randn(block * (WARMUP + ITERS + 2)) * 0.1).astype(np.float32)
     s = max(args.streams, 1)
     if s == 1:
         st = StreamingTranscriber(variables, model_cfg, frontend_cfg,
-                                  alphabet, chunk_frames=args.chunk_frames)
+                                  alphabet, chunk_frames=args.chunk_frames,
+                                  **kw)
         feed_tick = st.feed
     else:
         mst = MultiStreamTranscriber(variables, model_cfg, frontend_cfg,
                                      alphabet, max_streams=s,
-                                     chunk_frames=args.chunk_frames)
+                                     chunk_frames=args.chunk_frames, **kw)
         sids = [mst.open() for _ in range(s)]
 
         def feed_tick(chunk):
@@ -423,6 +435,7 @@ def _bench_stream(args, frontend_cfg, alphabet) -> None:
             "step_ms_min": round(min(lat) * 1e3, 2),
             "chunk_frames": args.chunk_frames,
             "rnn_type": args.rnn_type,
+            "stream_decoder": args.stream_decoder,
             "algorithmic_latency_ms": round(
                 (delay_frames * 2 + 1) * frontend_cfg.window_stride * 1e3,
                 0),
