@@ -119,9 +119,21 @@ struct Lm {
 
 struct Beam {
   std::vector<int> prefix;
+  // per-character emission frame (same length as prefix): the frame
+  // of the DOMINANT alignment's first emission of each char — the
+  // identical rule to the device kernel's stay<->extend absorption
+  // (tpuasr/decode/beam.py "Representative identity" comment), so
+  // device/host/native offsets agree.
+  std::vector<int> frames;
   float pb = kNeg;   // ends in blank
   float pnb = kNeg;  // ends in non-blank
   float lm = 0.0f;   // accumulated alpha*logP_lm + beta*words
+  // within-frame scratch for the dominant-alignment frames rule:
+  // mass arriving with the prefix unchanged (blank / repeat) vs via
+  // extension (parent + c); resolved once per advance().
+  float stay_acc = kNeg;
+  float ext_acc = kNeg;
+  std::vector<int> ext_frames;
   float total() const { return lse(pb, pnb) + lm; }
 };
 
@@ -190,11 +202,12 @@ BeamMap beams_init() {
 
 // One frame of prefix-beam expansion + width pruning (shared by the
 // batch decoder and the incremental session API). ``lp`` = one (C,)
-// row of log-probabilities; ``cand`` is scratch of size >= C.
+// row of log-probabilities; ``cand`` is scratch of size >= C; ``t``
+// is the absolute frame index recorded as new chars' emission frame.
 void advance(BeamMap& beams, const float* lp, int C,
              const DecodeConfig& cfg, const Lm* lm,
              const std::vector<std::string>& labels,
-             std::vector<int>& cand) {
+             std::vector<int>& cand, int t) {
   // candidate pruning: top-n + cumulative prob cutoff
   std::iota(cand.begin(), cand.begin() + C, 0);
   std::sort(cand.begin(), cand.begin() + C,
@@ -227,6 +240,8 @@ void advance(BeamMap& beams, const float* lp, int C,
         if (e.prefix.empty() && !prefix.empty()) e.prefix = prefix;
         e.pb = lse(e.pb, p_tot + lpc);
         e.lm = b.lm;
+        e.stay_acc = lse(e.stay_acc, p_tot + lpc);
+        e.frames = b.frames;  // stay source is unique (same prefix)
         continue;
       }
       float contrib;
@@ -235,6 +250,8 @@ void advance(BeamMap& beams, const float* lp, int C,
         if (e.prefix.empty() && !prefix.empty()) e.prefix = prefix;
         e.pnb = lse(e.pnb, b.pnb + lpc);
         e.lm = b.lm;
+        e.stay_acc = lse(e.stay_acc, b.pnb + lpc);
+        e.frames = b.frames;
         contrib = b.pb + lpc;
       } else {
         contrib = p_tot + lpc;
@@ -253,7 +270,26 @@ void advance(BeamMap& beams, const float* lp, int C,
       e.prefix = std::move(np);
       e.pnb = lse(e.pnb, contrib);
       e.lm = lm_new;
+      e.ext_acc = lse(e.ext_acc, contrib);
+      if (e.ext_frames.empty()) {  // ext source is unique (parent, c)
+        e.ext_frames = b.frames;
+        e.ext_frames.push_back(t);
+      }
     }
+  }
+
+  // Resolve each merged candidate's frames: the DOMINANT contributor
+  // (extension strictly outweighing the stay mass) donates its
+  // emission frames — the same tie-break as the device kernel's
+  // take_ext = best_ext_val > stay_score_pre.
+  for (auto& kv : next) {
+    Beam& e = kv.second;
+    if (!e.ext_frames.empty() &&
+        (e.ext_acc > e.stay_acc || e.frames.size() != kv.first.size()))
+      e.frames = std::move(e.ext_frames);
+    e.stay_acc = kNeg;
+    e.ext_acc = kNeg;
+    e.ext_frames.clear();
   }
 
   // prune to beam width
@@ -271,10 +307,14 @@ void advance(BeamMap& beams, const float* lp, int C,
 }
 
 // Best beam with the final in-progress word closed against the LM.
+// ``out_frames`` (optional) receives the winner's per-char emission
+// frames.
 void best_beam(const BeamMap& beams, const DecodeConfig& cfg, const Lm* lm,
                const std::vector<std::string>& labels,
-               std::vector<int>* out_ids, float* out_score) {
+               std::vector<int>* out_ids, float* out_score,
+               std::vector<int>* out_frames = nullptr) {
   float best = kNeg;
+  const Beam* best_beam_ptr = nullptr;
   const std::vector<int>* best_prefix = nullptr;
   for (auto& kv : beams) {
     float total = kv.second.total();
@@ -288,20 +328,23 @@ void best_beam(const BeamMap& beams, const DecodeConfig& cfg, const Lm* lm,
     if (total > best) {
       best = total;
       best_prefix = &kv.first;
+      best_beam_ptr = &kv.second;
     }
   }
   if (best_prefix) *out_ids = *best_prefix;
+  if (out_frames && best_beam_ptr) *out_frames = best_beam_ptr->frames;
   *out_score = best;
 }
 
 void decode_one(const float* logprobs, int T, int C, const DecodeConfig& cfg,
                 const Lm* lm, const std::vector<std::string>& labels,
-                std::vector<int>* out_ids, float* out_score) {
+                std::vector<int>* out_ids, float* out_score,
+                std::vector<int>* out_frames = nullptr) {
   BeamMap beams = beams_init();
   std::vector<int> cand(C);
   for (int t = 0; t < T; ++t)
-    advance(beams, logprobs + (size_t)t * C, C, cfg, lm, labels, cand);
-  best_beam(beams, cfg, lm, labels, out_ids, out_score);
+    advance(beams, logprobs + (size_t)t * C, C, cfg, lm, labels, cand, t);
+  best_beam(beams, cfg, lm, labels, out_ids, out_score, out_frames);
 }
 
 // Incremental beam session for live streams (tpuasr.stream): the beam
@@ -315,6 +358,9 @@ struct BeamSession {
   std::vector<std::string> labels;
   BeamMap beams = beams_init();
   std::vector<int> cand;
+  int t_abs = 0;  // absolute frame counter (rows fed so far) — the
+                  // emission-frame base; streams feed rows contiguously
+                  // from frame 0, so this IS the conv-frame offset.
 };
 
 }  // namespace
@@ -356,13 +402,21 @@ void* tpuasr_lm_load(const char* path) {
 
 void tpuasr_lm_free(void* lm) { delete static_cast<Lm*>(lm); }
 
+// ABI version guard for the ctypes loader: bumped whenever an exported
+// signature changes (v2: per-char emission frames in batch + session
+// readouts). A stale .so must never be dlopened against newer argtypes.
+int tpuasr_abi_version() { return 2; }
+
 // labels: C UTF-8 strings (the alphabet). Returns 0 on success.
+// out_frames (B x T) receives each character's emission frame
+// (ctcdecode's "timesteps" output); pass nullptr to skip.
 int tpuasr_beam_decode_batch(
     const float* logprobs, const int* lengths, int B, int T, int C,
     const char* const* labels, int blank, int space, int beam_width,
     void* lm_handle, float alpha, float beta, int cutoff_top_n,
     float cutoff_prob, float prune_logp, int num_threads,
-    int* out_ids /*B x T*/, int* out_lens /*B*/, float* out_scores /*B*/) {
+    int* out_ids /*B x T*/, int* out_frames /*B x T or null*/,
+    int* out_lens /*B*/, float* out_scores /*B*/) {
   std::vector<std::string> lab(C);
   for (int i = 0; i < C; ++i) lab[i] = labels[i];
   const Lm* lm = static_cast<const Lm*>(lm_handle);
@@ -377,12 +431,15 @@ int tpuasr_beam_decode_batch(
   cfg.prune_logp = prune_logp;
 
   auto work = [&](int b) {
-    std::vector<int> ids;
+    std::vector<int> ids, frames;
     float score = kNeg;
     decode_one(logprobs + (size_t)b * T * C, lengths[b], C, cfg, lm, lab,
-               &ids, &score);
+               &ids, &score, out_frames ? &frames : nullptr);
     int n = std::min<int>((int)ids.size(), T);
     std::copy(ids.begin(), ids.begin() + n, out_ids + (size_t)b * T);
+    if (out_frames)
+      std::copy(frames.begin(), frames.begin() + n,
+                out_frames + (size_t)b * T);
     out_lens[b] = n;
     out_scores[b] = score;
   };
@@ -427,7 +484,9 @@ void* tpuasr_beam_session_new(const char* const* labels, int C, int blank,
 void tpuasr_beam_session_free(void* s) { delete static_cast<BeamSession*>(s); }
 
 void tpuasr_beam_session_reset(void* s) {
-  static_cast<BeamSession*>(s)->beams = beams_init();
+  auto* sess = static_cast<BeamSession*>(s);
+  sess->beams = beams_init();
+  sess->t_abs = 0;
 }
 
 // feed R rows of (C,) log-probabilities
@@ -436,15 +495,27 @@ void tpuasr_beam_session_feed(void* sp, const float* logprobs, int R) {
   int C = (int)s->labels.size();
   for (int r = 0; r < R; ++r)
     advance(s->beams, logprobs + (size_t)r * C, C, s->cfg, s->lm, s->labels,
-            s->cand);
+            s->cand, s->t_abs++);
 }
 
-// stable common prefix of every live beam; returns its length (<= cap)
-int tpuasr_beam_session_prefix(void* sp, int* out, int cap) {
+// stable common prefix of every live beam; returns its length (<= cap).
+// out_frames (optional) receives the BEST-scoring beam's emission
+// frames for the prefix chars (beams agree on the prefix ids but may
+// carry different alignments; the best beam's is the representative —
+// same convention as the device kernel's dominant alignment).
+int tpuasr_beam_session_prefix(void* sp, int* out, int* out_frames,
+                               int cap) {
   auto* s = static_cast<BeamSession*>(sp);
   const std::vector<int>* lcp = nullptr;
   size_t n = 0;
+  float best = kNeg;
+  const Beam* best_b = nullptr;
   for (auto& kv : s->beams) {
+    float tot = kv.second.total();
+    if (tot > best) {
+      best = tot;
+      best_b = &kv.second;
+    }
     if (!lcp) {
       lcp = &kv.first;
       n = kv.first.size();
@@ -458,18 +529,28 @@ int tpuasr_beam_session_prefix(void* sp, int* out, int cap) {
   if (!lcp) return 0;
   int k = (int)std::min<size_t>(n, (size_t)cap);
   std::copy(lcp->begin(), lcp->begin() + k, out);
+  if (out_frames && best_b) {
+    int kf = (int)std::min<size_t>((size_t)k, best_b->frames.size());
+    std::copy(best_b->frames.begin(), best_b->frames.begin() + kf,
+              out_frames);
+    for (int i = kf; i < k; ++i) out_frames[i] = -1;
+  }
   return k;
 }
 
 // finalized best beam (last partial word closed against the LM);
-// returns its length (<= cap)
-int tpuasr_beam_session_best(void* sp, int* out, int cap, float* score) {
+// returns its length (<= cap). out_frames optional as above.
+int tpuasr_beam_session_best(void* sp, int* out, int* out_frames, int cap,
+                             float* score) {
   auto* s = static_cast<BeamSession*>(sp);
-  std::vector<int> ids;
+  std::vector<int> ids, frames;
   float sc = kNeg;
-  best_beam(s->beams, s->cfg, s->lm, s->labels, &ids, &sc);
+  best_beam(s->beams, s->cfg, s->lm, s->labels, &ids, &sc,
+            out_frames ? &frames : nullptr);
   int k = (int)std::min<size_t>(ids.size(), (size_t)cap);
   std::copy(ids.begin(), ids.begin() + k, out);
+  if (out_frames)
+    std::copy(frames.begin(), frames.begin() + k, out_frames);
   if (score) *score = sc;
   return k;
 }

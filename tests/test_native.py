@@ -67,6 +67,69 @@ def test_native_matches_python_with_lm(tmp_path):
         assert got[i] == res[0][0].strip(), (i, got[i], res[:2])
 
 
+def test_native_offsets_match_python(tmp_path):
+    """Per-char emission frames (ctcdecode's timesteps): the C++ batch
+    decoder and the Python host decoder agree exactly, with and
+    without an LM (both implement the device kernel's dominant-
+    alignment merge rule)."""
+    from tpuasr.decode.beam_host import BeamCTCDecoder
+
+    lm = train_ngram(["AB C AB", "AB AB", "C AB C"], order=2)
+    arpa = str(tmp_path / "lm.arpa")
+    lm.save(arpa)
+
+    rng = np.random.RandomState(5)
+    b, t, c = 4, 18, 5
+    logits = rng.randn(b, t, c).astype(np.float32) * 1.5
+    lengths = np.array([18, 14, 9, 4], np.int32)
+
+    for kw_n, kw_h in [
+        (dict(), dict()),
+        (dict(lm_path=arpa, alpha=1.0, beta=0.5),
+         dict(lm_path=arpa, alpha=1.0, beta=0.5)),
+    ]:
+        dec_n = NativeBeamDecoder(ABC, beam_width=8, **kw_n)
+        dec_h = BeamCTCDecoder(ABC, beam_width=8, **kw_h)
+        tn, on = dec_n.decode(logits, lengths, return_offsets=True)
+        th, oh = dec_h.decode(logits, lengths, return_offsets=True)
+        assert tn == th
+        for i in range(b):
+            assert len(on[i]) == len(tn[i]), (i, tn[i], on[i])
+            np.testing.assert_array_equal(on[i], oh[i])
+            if len(on[i]):
+                assert np.all(np.diff(on[i]) > 0)
+                assert on[i][0] >= 0 and on[i][-1] < lengths[i]
+
+
+def test_native_session_frames_match_batch():
+    """The incremental session's best_with_frames equals the batch
+    decoder's offsets when fed the same rows (in two chunks)."""
+    from tpuasr.decode.native import NativeBeamSession
+
+    rng = np.random.RandomState(6)
+    t, c = 16, 5
+    logits = (rng.randn(t, c) * 2).astype(np.float32)
+    logprobs = np.asarray(jax.nn.log_softmax(jnp.asarray(logits), -1))
+
+    dec = NativeBeamDecoder(ABC, beam_width=8)
+    texts, offs = dec.decode(logits[None], np.array([t], np.int32),
+                             return_offsets=True)
+
+    sess = NativeBeamSession(ABC, beam_width=8)
+    sess.feed(logprobs[:7])
+    sess.feed(logprobs[7:])
+    ids, frames, _ = sess.best_with_frames()
+    text = ABC.decode([int(x) for x in ids])
+    lpad = len(text) - len(text.lstrip())
+    rpad = len(text) - len(text.rstrip())
+    assert text.strip() == texts[0]
+    trimmed = frames[lpad: len(frames) - rpad] if rpad else frames[lpad:]
+    np.testing.assert_array_equal(trimmed, offs[0])
+    # prefix frames align with the committed ids
+    p_ids, p_frames = sess.prefix_with_frames()
+    assert len(p_ids) == len(p_frames)
+
+
 def test_native_lm_shifts_output(tmp_path):
     lm = train_ngram(["AB", "AB AB"], order=2)
     arpa = str(tmp_path / "lm.arpa")

@@ -264,7 +264,7 @@ def test_stream_sessions_concurrent_threads(uni_ckpt):
             sid = svc.open()
             for off in range(0, len(waves[j]), 1500):
                 svc.feed(sid, waves[j][off:off + 1500])
-            finals[j] = svc.finish(sid)
+            finals[j] = svc.finish(sid)[0]
         except Exception as e:  # pragma: no cover
             errors.append((j, repr(e)))
 
@@ -301,7 +301,7 @@ def test_stream_session_ids_never_recycle(uni_ckpt):
         with pytest.raises(KeyError):
             svc.finish(a)
         svc.feed(b, w)
-        assert isinstance(svc.finish(b), str)
+        assert isinstance(svc.finish(b)[0], str)
     finally:
         svc.close()
 
@@ -346,7 +346,7 @@ def test_batch_and_stream_services_coexist(uni_ckpt):
             sid = stream_svc.open()
             for off in range(0, len(wave), 2000):
                 stream_svc.feed(sid, wave[off:off + 2000])
-            results["stream"] = stream_svc.finish(sid)
+            results["stream"] = stream_svc.finish(sid)[0]
         except Exception as e:  # pragma: no cover
             errors.append(repr(e))
 

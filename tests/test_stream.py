@@ -102,6 +102,66 @@ def test_stream_causal_normalize_smoke():
     assert st.logits().shape == (t1, ABC.size)
 
 
+def test_stream_prime_stats():
+    """prime_stats seeds the causal normalization with corpus-level
+    statistics: (a) with a HUGE prior weight and the utterance's OWN
+    whole-utterance stats, streamed logits converge to the offline
+    (whole-utterance-normalized) logits; (b) a MultiStreamTranscriber
+    slot reopened after close() behaves like a fresh primed stream
+    (reset restores the primed template, not zeros)."""
+    from tpuasr.audio.frontend import log_spectrogram
+    from tpuasr.stream import MultiStreamTranscriber
+
+    cfg, fe_norm, model, variables = _setup("gru", 4, normalize=True,
+                                            seed=5)
+    rng = np.random.RandomState(14)
+    wave = (rng.randn(19000) * 0.2).astype(np.float32)
+    ref_logits, t1 = _offline(model, variables, fe_norm, wave)
+
+    # exact whole-utterance stats of THIS wave's raw features
+    import dataclasses
+
+    fe_raw = dataclasses.replace(fe_norm, normalize=False)
+    feats, flen = log_spectrogram(
+        jnp.asarray(wave[None, :]), jnp.asarray([len(wave)], np.int32),
+        fe_raw)
+    f = np.asarray(feats)[0, : int(flen[0])]
+    prime = (float(f.mean()), float(f.var()), 1e9)  # overwhelming prior
+
+    st = StreamingTranscriber(variables, cfg, fe_norm, ABC,
+                              chunk_frames=16, collect_logits=True,
+                              prime_stats=prime)
+    st.feed(wave)
+    st.flush()
+    np.testing.assert_allclose(st.logits(), ref_logits[:t1],
+                               rtol=1e-3, atol=2e-3)
+
+    # (b) multistream reopen == fresh primed single stream
+    prime2 = (float(f.mean()), float(f.var()), 500.0)
+    mst = MultiStreamTranscriber(variables, cfg, fe_norm, ABC,
+                                 max_streams=2, chunk_frames=16,
+                                 prime_stats=prime2)
+    a = mst.open()
+    mst.feed(a, wave)
+    while mst.tick():
+        pass
+    mst.flush(a)
+    first = mst.text(a)
+    mst.close(a)
+    b = mst.open()
+    mst.feed(b, wave)
+    while mst.tick():
+        pass
+    mst.flush(b)
+    assert mst.text(b) == first
+
+    st2 = StreamingTranscriber(variables, cfg, fe_norm, ABC,
+                               chunk_frames=16, prime_stats=prime2)
+    st2.feed(wave)
+    st2.flush()
+    assert st2.text == first
+
+
 def test_stream_rejects_bidirectional():
     cfg, fe, model, variables = _setup("gru", 4)
     bad = ModelConfig(n_classes=ABC.size, hidden_size=32, hidden_layers=2,
@@ -144,6 +204,38 @@ def test_stream_beam_matches_offline(with_lm):
     frags.append(st.flush())
     assert "".join(frags) == st.text
     assert st.text == offline
+
+
+@pytest.mark.parametrize("with_lm", [False, True])
+def test_stream_beam_offsets(with_lm):
+    """Streaming beam per-char offsets (round-3 VERDICT #4): host and
+    native engines produce the SAME offsets for the same audio; one
+    offset per final char, strictly increasing, within [0, t1)."""
+    from tpuasr.decode.lm import train_ngram
+
+    cfg, fe, model, variables = _setup("gru", 4, seed=31)
+    rng = np.random.RandomState(33)
+    wave = (rng.randn(16500) * 0.15).astype(np.float32)
+    _, t1 = _offline(model, variables, fe, wave)
+    lm = train_ngram(["AB A B", "B AB", "A AB B"], order=2) if with_lm \
+        else None
+
+    texts, offsets = {}, {}
+    for impl in ("host", "native"):
+        st = StreamingTranscriber(variables, cfg, fe, ABC, chunk_frames=16,
+                                  decoder="beam", lm=lm, alpha=0.5,
+                                  beta=0.3, beam_width=6, beam_impl=impl)
+        for i in range(0, len(wave), 1234):
+            st.feed(wave[i:i + 1234])
+        st.flush()
+        texts[impl], offsets[impl] = st.text, st.offsets
+    assert texts["host"] == texts["native"]
+    np.testing.assert_array_equal(offsets["host"], offsets["native"])
+    offs = offsets["host"]
+    assert len(offs) == len(texts["host"])
+    if len(offs):
+        assert np.all(np.diff(offs) > 0)
+        assert offs[0] >= 0 and offs[-1] < t1
 
 
 def test_transcribe_cli_streaming_matches_offline(tmp_path, capsys):

@@ -252,3 +252,47 @@ def make_frontend(cfg: FrontendConfig):
         return log_spectrogram(waves, lengths, cfg)
 
     return fn
+
+
+def corpus_feature_stats(manifest_path: str, cfg: FrontendConfig,
+                         max_utts: int = 256,
+                         seed: int = 0) -> tuple[float, float]:
+    """Scalar (mean, var) of the UN-normalized log1p spectrogram over
+    a sample of a manifest's utterances — the corpus-level statistics
+    used to prime streaming causal normalization (stream._init_carry
+    prime_stats; mitigation for the streaming-vs-offline normalize
+    deviation, PARITY.md). Pure NumPy on host: no device graphs, runs
+    anywhere, lengths vary freely."""
+    import csv
+
+    from tpuasr.audio.io import load_audio
+
+    with open(manifest_path) as f:
+        rows = [r for r in csv.reader(f) if r]
+    if len(rows) > max_utts:
+        rng = np.random.RandomState(seed)
+        rows = [rows[i] for i in
+                rng.choice(len(rows), max_utts, replace=False)]
+    win = _window_np(cfg.window, cfg.n_fft)
+    cos_m, sin_m = _dft_mats(cfg.n_fft)
+    cnt = 0
+    s1 = 0.0
+    s2 = 0.0
+    for r in rows:
+        wave = np.asarray(load_audio(r[0], cfg.sample_rate), np.float32)
+        t_f = 1 + len(wave) // cfg.hop
+        half = cfg.n_fft // 2
+        padded = np.concatenate([wave[1:half + 1][::-1], wave,
+                                 wave[-2:-half - 2:-1],
+                                 np.zeros(cfg.n_fft, np.float32)])
+        frames = np.stack([padded[i * cfg.hop: i * cfg.hop + cfg.n_fft]
+                           for i in range(t_f)]) * win
+        re = frames @ cos_m
+        im = frames @ sin_m
+        feats = np.log1p(np.sqrt(re * re + im * im + 1e-30))
+        cnt += feats.size
+        s1 += float(feats.sum())
+        s2 += float((feats * feats).sum())
+    mean = s1 / max(cnt, 1)
+    var = max(s2 / max(cnt, 1) - mean * mean, 1e-10)
+    return mean, var

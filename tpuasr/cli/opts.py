@@ -33,6 +33,10 @@ def add_model_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--rnn-type", default="gru", choices=["gru", "lstm", "rnn"])
     p.add_argument("--no-bidirectional", dest="bidirectional",
                    action="store_false", default=True)
+    p.add_argument("--lookahead-context", type=int, default=20,
+                   help="unidirectional models only: Lookahead layer "
+                   "context frames (ref:model.py Lookahead; also the "
+                   "streaming delay buffer depth)")
     p.add_argument("--labels-path", default=None,
                    help="JSON list of characters; default PT-BR alphabet")
     p.add_argument("--compute-dtype", default="bfloat16",
@@ -91,6 +95,7 @@ def model_config_from(args, alphabet: Alphabet,
         else jnp.float32,
         rnn_impl=getattr(args, "rnn_impl", "scan"),
         bn_mask_mode=getattr(args, "bn_mask_mode", "masked") or "masked",
+        lookahead_context=getattr(args, "lookahead_context", 20),
     )
 
 

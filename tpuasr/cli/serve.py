@@ -46,6 +46,15 @@ def main(argv=None) -> int:
                    help="concurrent live-stream sessions (batch rows)")
     p.add_argument("--stream-chunk-frames", type=int, default=32,
                    help="feature frames per streaming step")
+    p.add_argument("--session-timeout", type=float, default=300.0,
+                   help="seconds of silence before a live-stream "
+                   "session is reaped (slot leak guard)")
+    p.add_argument("--stream-norm-stats", default=None, metavar="MANIFEST",
+                   help="prime streaming causal normalization with "
+                   "corpus statistics from this manifest (PARITY.md "
+                   "streaming-normalization row)")
+    p.add_argument("--stream-norm-weight", type=float, default=500.0,
+                   help="prior weight of --stream-norm-stats in frames")
     add_decoder_args(p)
     add_runtime_args(p)
     args = p.parse_args(argv)
@@ -70,11 +79,20 @@ def main(argv=None) -> int:
     if args.streaming:
         from tpuasr.serve import StreamServeConfig, StreamSessionService
 
+        prime = None
+        if args.stream_norm_stats:
+            from tpuasr.audio.frontend import corpus_feature_stats
+
+            mean, var = corpus_feature_stats(args.stream_norm_stats,
+                                             pkg.frontend_config)
+            prime = (mean, var, args.stream_norm_weight)
         stream_service = StreamSessionService(
             args.model_path,
             StreamServeConfig(
                 max_streams=args.max_streams,
                 chunk_frames=args.stream_chunk_frames,
+                session_timeout_s=args.session_timeout,
+                prime_stats=prime,
                 # sessions decode greedy unless the host beam decoder
                 # was selected; beam fuses --lm-path per session
                 decoder="beam" if args.decoder == "beam" else "greedy",

@@ -49,6 +49,14 @@ def main(argv=None) -> int:
                    help="streaming beam engine: stateful C++ session "
                    "(native), Python beam_step (host), or native with "
                    "host fallback (auto)")
+    p.add_argument("--stream-norm-stats", default=None, metavar="MANIFEST",
+                   help="streaming + normalize=True checkpoints: prime "
+                   "the causal normalization with corpus statistics "
+                   "computed from this manifest (shrinks the "
+                   "streaming-vs-offline normalization deviation; "
+                   "PARITY.md)")
+    p.add_argument("--stream-norm-weight", type=float, default=500.0,
+                   help="prior weight of --stream-norm-stats in frames")
     add_decoder_args(p)
     add_runtime_args(p)
     args = p.parse_args(argv)
@@ -91,6 +99,12 @@ def main(argv=None) -> int:
                 cutoff_prob=args.cutoff_prob,
                 beam_impl=args.beam_impl,
             )
+        if args.stream_norm_stats:
+            from tpuasr.audio.frontend import corpus_feature_stats
+
+            mean, var = corpus_feature_stats(args.stream_norm_stats,
+                                             pkg.frontend_config)
+            kw["prime_stats"] = (mean, var, args.stream_norm_weight)
         st = StreamingTranscriber(variables, model_cfg,
                                   pkg.frontend_config, alphabet,
                                   chunk_frames=args.chunk_frames, **kw)
@@ -101,7 +115,7 @@ def main(argv=None) -> int:
             if frag:
                 print(frag, end="", flush=True)
         print(st.flush())
-        if args.offsets and args.decoder != "beam":
+        if args.offsets:
             print(" ".join(map(str, st.offsets)))
         return 0
 

@@ -59,23 +59,32 @@ def prefix_beam_search(
     for t in range(logprobs.shape[0]):
         beams = beam_step(beams, logprobs[t], alphabet, beam_width, lm,
                           alpha, beta, cutoff_top_n, cutoff_prob,
-                          prune_logp)
+                          prune_logp, t=t)
     return beam_results(beams, alphabet, lm, alpha, beta)
 
 
 def beam_init() -> dict:
     """Fresh beam state: prefix tuple -> [log_pb, log_pnb, lm_score,
-    n_words]. The state is a plain dict so callers (the streaming
-    transcriber) can carry it across logit chunks."""
-    return {(): [0.0, LOG0, 0.0, 0]}
+    n_words, frames]. ``frames`` is a tuple of each prefix char's
+    emission frame (the dominant alignment's — see beam_step). The
+    state is a plain dict so callers (the streaming transcriber) can
+    carry it across logit chunks."""
+    return {(): [0.0, LOG0, 0.0, 0, ()]}
 
 
 def beam_step(beams: dict, lp: np.ndarray, alphabet: Alphabet,
               beam_width: int, lm: ArpaLM | None = None,
               alpha: float = 0.8, beta: float = 1.0,
               cutoff_top_n: int = 40, cutoff_prob: float = 1.0,
-              prune_logp: float = -20.0) -> dict:
-    """Advance the beam state by ONE frame of (C,) log-posteriors."""
+              prune_logp: float = -20.0, t: int = -1) -> dict:
+    """Advance the beam state by ONE frame of (C,) log-posteriors.
+
+    ``t`` is the absolute frame index recorded as newly-emitted chars'
+    emission frame. When a stay (blank/repeat) and an extension merge
+    into the same prefix, the DOMINANT contributor (extension mass
+    strictly above the stay mass) donates the frames — identical to
+    the device kernel's stay<->extend absorption rule and the C++
+    decoder, so offsets agree across all three implementations."""
     blank = alphabet.blank_id
     space = alphabet.space_id
     n_class = lp.shape[0]
@@ -90,9 +99,16 @@ def beam_step(beams: dict, lp: np.ndarray, alphabet: Alphabet,
     cand = [c for c in order[: min(keep, cutoff_top_n)]
             if lp[c] > prune_logp or c == blank]
 
-    nxt: dict = defaultdict(lambda: [LOG0, LOG0, 0.0, 0])
+    nxt: dict = defaultdict(lambda: [LOG0, LOG0, 0.0, 0, ()])
+    # per-frame scratch for the dominant-alignment frames rule: mass
+    # arriving with the prefix unchanged vs via extension (parent + c);
+    # each has a unique source, so plain assignment of frames is safe.
+    stay_acc: dict = defaultdict(lambda: LOG0)
+    ext_acc: dict = defaultdict(lambda: LOG0)
+    stay_frames: dict = {}
+    ext_frames: dict = {}
 
-    for prefix, (pb, pnb, lms, nw) in beams.items():
+    for prefix, (pb, pnb, lms, nw, frames) in beams.items():
         p_tot = _lse(pb, pnb)
         last = prefix[-1] if prefix else None
 
@@ -102,12 +118,16 @@ def beam_step(beams: dict, lp: np.ndarray, alphabet: Alphabet,
                 e = nxt[prefix]
                 e[0] = _lse(e[0], p_tot + lpc)
                 e[2], e[3] = lms, nw
+                stay_acc[prefix] = _lse(stay_acc[prefix], p_tot + lpc)
+                stay_frames[prefix] = frames
                 continue
             if c == last:
                 # repeat without blank: stays same prefix
                 e = nxt[prefix]
                 e[1] = _lse(e[1], pnb + lpc)
                 e[2], e[3] = lms, nw
+                stay_acc[prefix] = _lse(stay_acc[prefix], pnb + lpc)
+                stay_frames[prefix] = frames
                 # with blank in between: extends
                 contrib = pb + lpc
             else:
@@ -123,6 +143,18 @@ def beam_step(beams: dict, lp: np.ndarray, alphabet: Alphabet,
             e = nxt[new_prefix]
             e[1] = _lse(e[1], contrib)
             e[2], e[3] = lms_new, nw_new
+            ext_acc[new_prefix] = _lse(ext_acc[new_prefix], contrib)
+            if new_prefix not in ext_frames:  # unique (parent, c) source
+                ext_frames[new_prefix] = frames + (t,)
+
+    # resolve merged candidates' frames (dominant contributor wins)
+    for p, e in nxt.items():
+        ef = ext_frames.get(p)
+        sf = stay_frames.get(p)
+        if ef is not None and (sf is None or ext_acc[p] > stay_acc[p]):
+            e[4] = ef
+        else:
+            e[4] = sf if sf is not None else ()
 
     # keep top beams by ctc + lm score
     scored = sorted(
@@ -134,19 +166,26 @@ def beam_step(beams: dict, lp: np.ndarray, alphabet: Alphabet,
 
 def beam_results(beams: dict, alphabet: Alphabet,
                  lm: ArpaLM | None = None, alpha: float = 0.8,
-                 beta: float = 1.0) -> list[tuple[str, float]]:
+                 beta: float = 1.0,
+                 with_offsets: bool = False) -> list[tuple]:
     """Finalize a beam state: close partial words against the LM
-    (ctcdecode finish_decoding) and return (text, score) best-first."""
+    (ctcdecode finish_decoding) and return (text, score) best-first —
+    or (text, score, frames) with ``with_offsets`` (each char's
+    emission frame, ctcdecode's "timesteps")."""
     space = alphabet.space_id
     results = []
-    for prefix, (pb, pnb, lms, nw) in beams.items():
+    for prefix, (pb, pnb, lms, nw, frames) in beams.items():
         total = _lse(pb, pnb) + lms
         if lm is not None:
             word = _last_word(prefix, alphabet, space)
             if word:
                 ctx = _context(prefix + (space,), alphabet, space)
                 total += alpha * LN10 * lm.score_word(ctx, word) + beta
-        results.append((alphabet.decode(prefix), total))
+        if with_offsets:
+            results.append((alphabet.decode(prefix), total,
+                            np.asarray(frames, np.int64)))
+        else:
+            results.append((alphabet.decode(prefix), total))
     results.sort(key=lambda x: -x[1])
     return results
 
@@ -198,19 +237,24 @@ class BeamCTCDecoder:
 
         logprobs = np.asarray(jax.nn.log_softmax(logits, axis=-1))
         lengths = np.asarray(lengths)
-        texts = []
+        texts, offsets = [], []
         for b in range(logprobs.shape[0]):
-            res = prefix_beam_search(
-                logprobs[b, : int(lengths[b])],
-                self.alphabet,
-                beam_width=self.beam_width,
-                lm=self.lm,
-                alpha=self.alpha,
-                beta=self.beta,
-                cutoff_top_n=self.cutoff_top_n,
-                cutoff_prob=self.cutoff_prob,
-            )
-            texts.append(res[0][0].strip() if res else "")
+            beams = beam_init()
+            for t in range(int(lengths[b])):
+                beams = beam_step(beams, logprobs[b, t], self.alphabet,
+                                  self.beam_width, self.lm, self.alpha,
+                                  self.beta, self.cutoff_top_n,
+                                  self.cutoff_prob, t=t)
+            res = beam_results(beams, self.alphabet, self.lm, self.alpha,
+                               self.beta, with_offsets=True)
+            text, _, frames = res[0] if res else ("", 0.0,
+                                                  np.array([], np.int64))
+            # .strip() parity: drop the stripped chars' offsets too
+            lpad = len(text) - len(text.lstrip())
+            rpad = len(text) - len(text.rstrip())
+            texts.append(text.strip())
+            offsets.append(frames[lpad: len(frames) - rpad]
+                           if rpad else frames[lpad:])
         if return_offsets:
-            return texts, [np.array([], np.int64)] * len(texts)
+            return texts, offsets
         return texts

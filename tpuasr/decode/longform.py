@@ -172,13 +172,34 @@ def greedy_decode_host(logits: np.ndarray, alphabet: Alphabet):
     return alphabet.decode(ids[frames]), frames
 
 
+def _host_beam_with_offsets(logprobs: np.ndarray, alphabet: Alphabet,
+                            **kw) -> tuple[str, np.ndarray]:
+    """Host prefix-beam over assembled (T, C) logprobs returning
+    (stripped text, per-char emission frames) — the long-form analogue
+    of every batch decoder's return_offsets=True."""
+    from tpuasr.decode.beam_host import beam_init, beam_results, beam_step
+
+    beams = beam_init()
+    for t in range(logprobs.shape[0]):
+        beams = beam_step(beams, logprobs[t], alphabet, t=t, **kw)
+    res = beam_results(beams, alphabet, lm=kw.get("lm"),
+                       alpha=kw.get("alpha", 0.8), beta=kw.get("beta", 1.0),
+                       with_offsets=True)
+    if not res:
+        return "", np.array([], np.int64)
+    text, _, frames = res[0]
+    lpad = len(text) - len(text.lstrip())
+    rpad = len(text) - len(text.rstrip())
+    return text.strip(), (frames[lpad: len(frames) - rpad]
+                          if rpad else frames[lpad:])
+
+
 def host_decode(decoder, logits: np.ndarray, alphabet: Alphabet):
     """Decode assembled long-form logits (T, C) with the host analogue
-    of the configured decoder. Returns (text, frame offsets; offsets
-    only for greedy — beam offsets would need per-beam backtracking).
-    """
+    of the configured decoder. Returns (text, per-char frame offsets)
+    for greedy AND every beam flavor."""
     from tpuasr.decode.beam import DeviceBeamDecoder
-    from tpuasr.decode.beam_host import BeamCTCDecoder, prefix_beam_search
+    from tpuasr.decode.beam_host import BeamCTCDecoder
     from tpuasr.decode.greedy import GreedyDecoder
     from tpuasr.decode.native import NativeBeamDecoder
 
@@ -189,18 +210,18 @@ def host_decode(decoder, logits: np.ndarray, alphabet: Alphabet):
     if isinstance(decoder, NativeBeamDecoder):
         # the native batch API takes host arrays directly — call it with
         # B=1 at the assembled length (no device graphs involved)
-        texts = decoder.decode(
-            logprobs[None], np.array([logprobs.shape[0]], np.int32)
+        texts, offs = decoder.decode(
+            logprobs[None], np.array([logprobs.shape[0]], np.int32),
+            return_offsets=True,
         )
-        return texts[0], np.array([], np.int64)
+        return texts[0], offs[0]
     if isinstance(decoder, BeamCTCDecoder):
-        res = prefix_beam_search(
+        return _host_beam_with_offsets(
             logprobs, alphabet, beam_width=decoder.beam_width,
             lm=decoder.lm, alpha=decoder.alpha, beta=decoder.beta,
             cutoff_top_n=decoder.cutoff_top_n,
             cutoff_prob=decoder.cutoff_prob,
         )
-        return (res[0][0].strip() if res else ""), np.array([], np.int64)
     if isinstance(decoder, DeviceBeamDecoder):
         # device beams are shape-compiled; long-form falls back to the
         # host oracle the device decoder is parity-tested against
@@ -210,7 +231,7 @@ def host_decode(decoder, logits: np.ndarray, alphabet: Alphabet):
                 "supported; use --device-lm-level word, --decoder beam, "
                 "or greedy for long audio"
             )
-        res = prefix_beam_search(
+        return _host_beam_with_offsets(
             logprobs, alphabet, beam_width=decoder.cfg.beam_width,
             lm=getattr(decoder, "word_lm", None),
             alpha=decoder.cfg.alpha, beta=decoder.cfg.beta,
@@ -218,7 +239,6 @@ def host_decode(decoder, logits: np.ndarray, alphabet: Alphabet):
             cutoff_prob=decoder.cfg.cutoff_prob,
             prune_logp=decoder.cfg.prune_logp,
         )
-        return (res[0][0].strip() if res else ""), np.array([], np.int64)
     raise TypeError(f"no host long-form path for {type(decoder).__name__}")
 
 

@@ -38,10 +38,10 @@ def _load_lib():
         subprocess.run(["make", "-C", _NATIVE_DIR, "-B"], check=True,
                        capture_output=True)
     lib = ctypes.CDLL(_LIB_PATH)
-    if not hasattr(lib, "tpuasr_beam_session_new"):
+    if not hasattr(lib, "tpuasr_abi_version") or lib.tpuasr_abi_version() != 2:
         raise RuntimeError(
-            f"{_LIB_PATH} predates the beam-session ABI and the source "
-            "is unavailable to rebuild — run `make -C native -B`")
+            f"{_LIB_PATH} predates ABI v2 (per-char emission frames) and "
+            "the source is unavailable to rebuild — run `make -C native -B`")
     lib.tpuasr_lm_load.restype = ctypes.c_void_p
     lib.tpuasr_lm_load.argtypes = [ctypes.c_char_p]
     lib.tpuasr_lm_free.argtypes = [ctypes.c_void_p]
@@ -60,10 +60,12 @@ def _load_lib():
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int]
     lib.tpuasr_beam_session_prefix.restype = ctypes.c_int
     lib.tpuasr_beam_session_prefix.argtypes = [
-        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int), ctypes.c_int]
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int), ctypes.c_int]
     lib.tpuasr_beam_session_best.restype = ctypes.c_int
     lib.tpuasr_beam_session_best.argtypes = [
-        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int), ctypes.c_int,
         ctypes.POINTER(ctypes.c_float)]
     lib.tpuasr_beam_decode_batch.restype = ctypes.c_int
     lib.tpuasr_beam_decode_batch.argtypes = [
@@ -78,6 +80,7 @@ def _load_lib():
         ctypes.c_float,  # prune_logp
         ctypes.c_int,  # num_threads
         ctypes.POINTER(ctypes.c_int),  # out_ids
+        ctypes.POINTER(ctypes.c_int),  # out_frames (nullable)
         ctypes.POINTER(ctypes.c_int),  # out_lens
         ctypes.POINTER(ctypes.c_float),  # out_scores
     ]
@@ -149,6 +152,7 @@ class NativeBeamSession:
             alpha, beta, cutoff_top_n, cutoff_prob, prune_logp)
         self._cap = 256
         self._out = np.zeros((self._cap,), np.int32)
+        self._frames = np.zeros((self._cap,), np.int32)
 
     def feed(self, logprob_rows: np.ndarray) -> None:
         """Advance over (R, C) log-probability rows."""
@@ -158,26 +162,41 @@ class NativeBeamSession:
             rows.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             rows.shape[0])
 
-    def _read(self, fn, *extra) -> np.ndarray:
+    def _read(self, fn, *extra) -> tuple[np.ndarray, np.ndarray]:
         while True:
             n = fn(self._handle,
                    self._out.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+                   self._frames.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
                    self._cap, *extra)
             if n < self._cap:
-                return self._out[:n].copy()
+                return self._out[:n].copy(), self._frames[:n].copy()
             self._cap *= 2
             self._out = np.zeros((self._cap,), np.int32)
+            self._frames = np.zeros((self._cap,), np.int32)
 
     def prefix(self) -> np.ndarray:
         """ids of the stable common prefix of all live beams."""
+        return self._read(self._lib.tpuasr_beam_session_prefix)[0]
+
+    def prefix_with_frames(self) -> tuple[np.ndarray, np.ndarray]:
+        """(ids, frames) of the stable common prefix; frames are the
+        best beam's per-char emission frames (absolute, counted from
+        the first row ever fed)."""
         return self._read(self._lib.tpuasr_beam_session_prefix)
 
     def best(self) -> tuple[np.ndarray, float]:
         """(ids, score) of the finalized best beam."""
         score = ctypes.c_float(0.0)
-        ids = self._read(self._lib.tpuasr_beam_session_best,
-                         ctypes.byref(score))
+        ids, _ = self._read(self._lib.tpuasr_beam_session_best,
+                            ctypes.byref(score))
         return ids, float(score.value)
+
+    def best_with_frames(self) -> tuple[np.ndarray, np.ndarray, float]:
+        """(ids, frames, score) of the finalized best beam."""
+        score = ctypes.c_float(0.0)
+        ids, frames = self._read(self._lib.tpuasr_beam_session_best,
+                                 ctypes.byref(score))
+        return ids, frames, float(score.value)
 
     def reset(self) -> None:
         self._lib.tpuasr_beam_session_reset(self._handle)
@@ -250,6 +269,7 @@ class NativeBeamDecoder:
         lengths = np.ascontiguousarray(np.asarray(lengths), dtype=np.int32)
         b, t, c = logprobs.shape
         out_ids = np.zeros((b, t), np.int32)
+        out_frames = np.zeros((b, t), np.int32)
         out_lens = np.zeros((b,), np.int32)
         out_scores = np.zeros((b,), np.float32)
         lib = _load_lib()
@@ -266,17 +286,25 @@ class NativeBeamDecoder:
             self.cutoff_top_n, self.cutoff_prob, self.prune_logp,
             self.num_threads,
             out_ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            out_frames.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
             out_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
             out_scores.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         )
         if rc != 0:
             raise RuntimeError(f"native decode failed rc={rc}")
-        texts = [
-            self.alphabet.decode(out_ids[i, : out_lens[i]]).strip()
-            for i in range(b)
-        ]
+        texts, offsets = [], []
+        for i in range(b):
+            ids = out_ids[i, : out_lens[i]]
+            frames = out_frames[i, : out_lens[i]].astype(np.int64)
+            text = self.alphabet.decode(ids)
+            # .strip() parity: drop offsets of the stripped chars
+            lpad = len(text) - len(text.lstrip())
+            rpad = len(text) - len(text.rstrip())
+            texts.append(text.strip())
+            offsets.append(frames[lpad: len(frames) - rpad]
+                           if rpad else frames[lpad:])
         if return_offsets:
-            return texts, [np.array([], np.int64)] * len(texts)
+            return texts, offsets
         return texts
 
     def __del__(self):

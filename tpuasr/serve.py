@@ -268,6 +268,9 @@ class StreamServeConfig:
     beam_width: int = 10
     cutoff_top_n: int = 40
     cutoff_prob: float = 1.0
+    # optional (mean, var, weight_frames): prime causal normalization
+    # with corpus stats (stream._init_carry; PARITY.md)
+    prime_stats: tuple | None = None
 
 
 class StreamSessionService:
@@ -324,7 +327,8 @@ class StreamSessionService:
             decoder=self.cfg.decoder, lm=lm, alpha=self.cfg.alpha,
             beta=self.cfg.beta, beam_width=self.cfg.beam_width,
             cutoff_top_n=self.cfg.cutoff_top_n,
-            cutoff_prob=self.cfg.cutoff_prob)
+            cutoff_prob=self.cfg.cutoff_prob,
+            prime_stats=self.cfg.prime_stats)
         self._lock = threading.Lock()
         self._sessions: dict[int, int] = {}  # public sid -> slot
         self._gen = 0  # generation stamp: sids never repeat
@@ -362,16 +366,33 @@ class StreamSessionService:
             self._last_seen[sid] = time.time()
             return self._mst.take_text(self._slot(sid))
 
-    def finish(self, sid: int) -> str:
-        """Drain + close the session; returns the FULL final text."""
+    def finish(self, sid: int) -> tuple[str, list[int]]:
+        """Drain + close the session; returns the FULL final text and
+        per-char frame offsets.
+
+        The drain is driven by the shared ticker with the service lock
+        RELEASED between ticks (round-3 ADVICE #3): other sessions'
+        feed/open never block behind a closing stream's pipeline
+        depth. This thread only polls flush_done()."""
         with self._lock:
             slot = self._slot(sid)
-            self._mst.flush(slot)
-            text = self._mst.text(slot)
-            self._mst.close(slot)
-            self._sessions.pop(sid, None)
-            self._last_seen.pop(sid, None)
-            return text
+            self._mst.begin_flush(slot)
+            self._last_seen[sid] = time.time()
+        while True:
+            with self._lock:
+                if sid not in self._sessions:
+                    # reaped mid-drain (can only happen after
+                    # session_timeout_s of ticker starvation)
+                    raise KeyError(f"stream {sid} timed out during drain")
+                self._last_seen[sid] = time.time()
+                if self._mst.flush_done(slot):
+                    text = self._mst.finalize_flush(slot)
+                    offs = self._mst.offsets(slot).tolist()
+                    self._mst.close(slot)
+                    self._sessions.pop(sid, None)
+                    self._last_seen.pop(sid, None)
+                    return text, offs
+            time.sleep(self.cfg.idle_sleep_ms / 1e3)
 
     def close(self) -> None:
         self._stop.set()
@@ -398,10 +419,18 @@ class StreamSessionService:
                 self._last_seen.pop(sid, None)
 
     def _tick_loop(self) -> None:
+        last_reap = time.time()
         while not self._stop.is_set():
             try:
                 with self._lock:
                     stepped = self._mst.tick()
+                    # reap abandoned sessions even if no open() ever
+                    # arrives again (round-3 ADVICE #2: a timed-out
+                    # session must not hold its slot/carry/beam state
+                    # forever)
+                    if time.time() - last_reap > 5.0:
+                        self._reap()
+                        last_reap = time.time()
             except Exception as exc:  # never let the shared ticker die
                 print(f"stream ticker error (retrying): {exc!r}",
                       flush=True)
@@ -480,8 +509,9 @@ def make_http_server(service: TranscriptionService | None, host: str,
                                 sid, self._pcm(self._body()))
                             self._send(200, {"text": frag})
                         else:
-                            self._send(200,
-                                       {"text": stream_service.finish(sid)})
+                            text, offs = stream_service.finish(sid)
+                            self._send(200, {"text": text,
+                                             "offsets": offs})
                         return
                 self._send(404, {"error": "not found"})
             except KeyError as exc:

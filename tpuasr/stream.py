@@ -73,9 +73,19 @@ def _reflect_tail(recent: np.ndarray, l: int, t_f: int, hop: int,
     return tail
 
 
-def _init_carry(cfg: ModelConfig, fe: FrontendConfig, b: int):
+def _init_carry(cfg: ModelConfig, fe: FrontendConfig, b: int,
+                prime_stats: tuple | None = None):
     """Zero streaming carry for a batch of ``b`` streams (see
-    _build_step for the layout)."""
+    _build_step for the layout).
+
+    ``prime_stats`` = (mean, var, weight_frames): seed the causal
+    feature-normalization accumulators with ``weight_frames`` pseudo-
+    frames of corpus-level statistics, so a stream's first frames are
+    normalized near the stats the offline (whole-utterance) frontend
+    would use instead of its own few frames. The running estimate
+    still converges to the utterance's own stats as audio accrues.
+    Mitigation for the streaming-vs-offline normalize deviation —
+    measured in PARITY.md (use audio.frontend.corpus_feature_stats)."""
     kt1, kf1, st1, sf1, _, pf1 = CONV_SPECS[0]
     kt2, _, st2, _, _, _ = CONV_SPECS[1]
     f1 = (fe.n_features + 2 * pf1 - kf1) // sf1 + 1
@@ -84,15 +94,22 @@ def _init_carry(cfg: ModelConfig, fe: FrontendConfig, b: int):
     for _ in range(cfg.hidden_layers):
         shape = (2, b, h) if cfg.rnn_type == "lstm" else (b, h)
         hs.append(jnp.zeros(shape, dt))
+    n_cnt = n_sum = n_sq = jnp.zeros((b,), jnp.float32)
+    if prime_stats is not None:
+        mean, var, w_frames = (float(x) for x in prime_stats)
+        cells = w_frames * fe.n_features  # accumulators count cells
+        n_cnt = jnp.full((b,), cells, jnp.float32)
+        n_sum = jnp.full((b,), cells * mean, jnp.float32)
+        n_sq = jnp.full((b,), cells * (var + mean * mean), jnp.float32)
     return (
         jnp.zeros((b, kt1 - st1, fe.n_features), dt),
         jnp.zeros((b, kt2 - st2, f1, cfg.conv_channels), jnp.float32),
         jnp.zeros((b, max(cfg.lookahead_context - 1, 1), h),
                   jnp.float32),
         hs,
-        jnp.zeros((b,), jnp.float32),
-        jnp.zeros((b,), jnp.float32),
-        jnp.zeros((b,), jnp.float32),
+        n_cnt,
+        n_sum,
+        n_sq,
     )
 
 
@@ -115,17 +132,19 @@ def _greedy_emit(rows: np.ndarray, lo: int, hi: int, last_id: int,
 
 
 def _beam_emit(beams, committed: tuple, rows: np.ndarray, lo: int,
-               hi: int, alphabet, beam_kw: dict):
+               hi: int, alphabet, beam_kw: dict, base_w: int = 0):
     """Advance an incremental host prefix-beam over finalized logit
     rows [lo, hi); emit the newly-STABLE text (the common prefix of
-    every live beam, past what was already committed). Returns
-    (frag, beams, committed)."""
+    every live beam, past what was already committed). ``base_w`` is
+    row lo..hi's absolute conv-frame base (frames tracking). Returns
+    (frag, beams, committed, offs) — offs are the newly committed
+    chars' emission frames (the best beam's alignment)."""
     from tpuasr.decode.beam_host import beam_step
 
     for j in range(lo, hi):
         row = rows[j].astype(np.float64)
         lp = row - np.log(np.sum(np.exp(row - row.max()))) - row.max()
-        beams = beam_step(beams, lp, alphabet, **beam_kw)
+        beams = beam_step(beams, lp, alphabet, t=base_w + j, **beam_kw)
     keys = list(beams.keys())
     lcp = keys[0]
     for k2 in keys[1:]:
@@ -136,26 +155,43 @@ def _beam_emit(beams, committed: tuple, rows: np.ndarray, lo: int,
             n += 1
         lcp = lcp[:n]
     frag = ""
+    offs: list[int] = []
     if len(lcp) > len(committed) and lcp[:len(committed)] == committed:
         frag = alphabet.decode(lcp[len(committed):])
+        best = max(beams.items(),
+                   key=lambda kv: _lse_pair(kv[1][0], kv[1][1]) + kv[1][2])
+        offs = list(best[1][4][len(committed):len(lcp)])
         committed = lcp
-    return frag, beams, committed
+    return frag, beams, committed, offs
+
+
+def _lse_pair(a: float, b: float) -> float:
+    if a < b:
+        a, b = b, a
+    if b <= -5e29:
+        return a
+    return a + float(np.log1p(np.exp(b - a)))
 
 
 def _native_emit(session, committed: tuple, rows: np.ndarray, lo: int,
                  hi: int, alphabet):
     """Advance a NativeBeamSession over finalized logit rows [lo, hi)
-    and emit the newly-stable text (same contract as _beam_emit)."""
+    and emit the newly-stable text (same contract as _beam_emit; the
+    session's internal frame counter is the absolute conv frame since
+    streams feed rows contiguously from frame 0)."""
     r = rows[lo:hi].astype(np.float64)  # normalize in f64 like the
     m = r.max(axis=-1, keepdims=True)   # host path; feed casts to f32
     lp = r - m - np.log(np.sum(np.exp(r - m), axis=-1, keepdims=True))
     session.feed(lp)
-    lcp = tuple(int(x) for x in session.prefix())
+    lcp_ids, lcp_frames = session.prefix_with_frames()
+    lcp = tuple(int(x) for x in lcp_ids)
     frag = ""
+    offs: list[int] = []
     if len(lcp) > len(committed) and lcp[:len(committed)] == committed:
         frag = alphabet.decode(list(lcp[len(committed):]))
+        offs = [int(x) for x in lcp_frames[len(committed):]]
         committed = lcp
-    return frag, committed
+    return frag, committed, offs
 
 
 def _native_session_factory(decoder: str, beam_impl: str, alphabet,
@@ -193,12 +229,13 @@ def _beam_final(beams, committed_text: str, alphabet, beam_kw: dict):
     committed text."""
     from tpuasr.decode.beam_host import beam_results
 
-    final = beam_results(beams, alphabet, lm=beam_kw["lm"],
-                         alpha=beam_kw["alpha"],
-                         beta=beam_kw["beta"])[0][0]
+    final, _, frames = beam_results(beams, alphabet, lm=beam_kw["lm"],
+                                    alpha=beam_kw["alpha"],
+                                    beta=beam_kw["beta"],
+                                    with_offsets=True)[0]
     if final.startswith(committed_text):
-        return final[len(committed_text):], final
-    return final, final  # retraction: final text is authoritative
+        return final[len(committed_text):], final, frames
+    return final, final, frames  # retraction: final text authoritative
 
 
 def _bn_eval(x, params, stats, eps=1e-5):
@@ -477,7 +514,8 @@ class StreamingTranscriber:
                  decoder: str = "greedy", lm=None, alpha: float = 0.8,
                  beta: float = 1.0, beam_width: int = 10,
                  cutoff_top_n: int = 40, cutoff_prob: float = 1.0,
-                 prune_logp: float = -20.0, beam_impl: str = "auto"):
+                 prune_logp: float = -20.0, beam_impl: str = "auto",
+                 prime_stats: tuple | None = None):
         """``decoder="beam"`` runs an incremental prefix-beam search
         (optionally with word-LM shallow fusion via ``lm``, an ArpaLM)
         over the streamed logits: ``feed`` returns the STABLE common
@@ -488,7 +526,10 @@ class StreamingTranscriber:
         ``flush`` returns the corrected full text and ``.text`` is
         always the authoritative transcript. ``beam_impl``: "native"
         (stateful C++ session) / "host" (Python beam_step) / "auto"
-        (native with host fallback)."""
+        (native with host fallback). ``prime_stats`` = (mean, var,
+        weight_frames) seeds the causal normalization with corpus
+        statistics (see _init_carry; audio.frontend.corpus_feature_stats
+        computes them)."""
         self.cfg = model_cfg
         self.fe = frontend_cfg
         self.alphabet = alphabet
@@ -508,6 +549,7 @@ class StreamingTranscriber:
                              f"got {beam_impl!r}")
         self._mk_native = _native_session_factory(
             decoder, beam_impl, alphabet, self._beam_kw)
+        self.prime_stats = prime_stats
         self._step, self._delta, self._d1, self._d2 = _build_step(
             model_cfg, frontend_cfg, chunk_frames
         )
@@ -516,7 +558,7 @@ class StreamingTranscriber:
     # ---- state management -------------------------------------------------
 
     def reset(self) -> None:
-        self._carry = _init_carry(self.cfg, self.fe, 1)
+        self._carry = _init_carry(self.cfg, self.fe, 1, self.prime_stats)
         self._pending = np.zeros((0,), np.float32)
         self._lead = None        # previous window's last hop samples
         self._recent = np.zeros((0,), np.float32)  # for flush reflection
@@ -524,7 +566,7 @@ class StreamingTranscriber:
         self._k = 0
         self._last_id = self.blank_id
         self._text_parts: list[str] = []
-        self._offsets: list[int] = []  # greedy: per-char conv frames
+        self._offsets: list[int] = []  # per-char conv-frame offsets
         self._emitted = 0        # conv frames finalized so far
         self._closed = False
         self._rows: list[np.ndarray] = []  # (w, logits) when collecting
@@ -549,8 +591,10 @@ class StreamingTranscriber:
 
     @property
     def offsets(self) -> np.ndarray:
-        """Per-character conv-frame offsets (greedy decode only — the
-        beam's stable-prefix commits have no single emission frame)."""
+        """Per-character conv-frame offsets. Greedy: exact offline
+        parity. Beam: each committed char's emission frame under the
+        best beam's alignment AT COMMIT TIME (frozen like the text;
+        flush replaces them wholesale on the rare retraction)."""
         return np.asarray(self._offsets, np.int64)
 
     def logits(self) -> np.ndarray:
@@ -600,18 +644,21 @@ class StreamingTranscriber:
         if self.decoder == "beam":
             committed = "".join(self._text_parts)  # includes drained
             if self._native is not None:
-                ids, _ = self._native.best()
+                ids, frames, _ = self._native.best_with_frames()
                 final = self.alphabet.decode([int(x) for x in ids])
                 extra = (final[len(committed):]
                          if final.startswith(committed) else final)
             else:
-                extra, final = _beam_final(self._beams, committed,
-                                           self.alphabet, self._beam_kw)
+                extra, final, frames = _beam_final(
+                    self._beams, committed, self.alphabet, self._beam_kw)
             if extra and final.startswith(committed):
                 self._text_parts.append(extra)
+                self._offsets.extend(int(x) for x in
+                                     frames[len(committed):])
             elif not final.startswith(committed):
                 # rare retraction: the final text is authoritative
                 self._text_parts = [final]
+                self._offsets = [int(x) for x in frames]
                 drained = []
         self._closed = True
         return "".join(drained) + extra
@@ -640,13 +687,14 @@ class StreamingTranscriber:
             hi = min(self._delta, t1 - base_w)
             if self.decoder == "beam" and hi > lo:
                 if self._native is not None:
-                    frag0, self._committed = _native_emit(
+                    frag0, self._committed, offs = _native_emit(
                         self._native, self._committed, rows, lo, hi,
                         self.alphabet)
                 else:
-                    frag0, self._beams, self._committed = _beam_emit(
+                    frag0, self._beams, self._committed, offs = _beam_emit(
                         self._beams, self._committed, rows, lo, hi,
-                        self.alphabet, self._beam_kw)
+                        self.alphabet, self._beam_kw, base_w=base_w)
+                self._offsets.extend(offs)
                 if frag0:
                     new_text.append(frag0)
             else:
@@ -696,7 +744,7 @@ class _StreamSlot:
         self.beams = None       # beam mode (host impl): live beam dict
         self.committed: tuple = ()  # beam mode: stable emitted prefix
         self.native = None      # beam mode (native impl): C++ session
-        self.offsets: list[int] = []  # greedy: per-char conv frames
+        self.offsets: list[int] = []  # per-char conv-frame offsets
 
 
 class MultiStreamTranscriber:
@@ -732,7 +780,8 @@ class MultiStreamTranscriber:
                  decoder: str = "greedy", lm=None, alpha: float = 0.8,
                  beta: float = 1.0, beam_width: int = 10,
                  cutoff_top_n: int = 40, cutoff_prob: float = 1.0,
-                 prune_logp: float = -20.0, beam_impl: str = "auto"):
+                 prune_logp: float = -20.0, beam_impl: str = "auto",
+                 prime_stats: tuple | None = None):
         """``decoder="beam"`` runs an incremental prefix-beam per
         stream over the shared batched logits (optionally with word-LM
         shallow fusion via ``lm``); ticks emit each stream's stable
@@ -769,17 +818,21 @@ class MultiStreamTranscriber:
             model_cfg, frontend_cfg, chunk_frames
         )
         self._lahead = max(model_cfg.lookahead_context - 1, 0)
-        self._carry = _init_carry(model_cfg, frontend_cfg, max_streams)
+        init0 = _init_carry(model_cfg, frontend_cfg, max_streams,
+                            prime_stats)
+        self._carry = init0
         self._slots: list[_StreamSlot | None] = [None] * max_streams
 
         lstm = model_cfg.rnn_type == "lstm"
 
         @jax.jit
         def reset_rows(carry, keep):
-            """Zero the carry rows where ``keep`` is False (same row
-            selection as the step's idle-row freeze)."""
-            zeros = jax.tree.map(jnp.zeros_like, carry)
-            return _carry_rows_select(keep, carry, zeros, lstm=lstm)
+            """Reset the carry rows where ``keep`` is False to the
+            INITIAL carry (zeros, or the prime_stats-seeded template —
+            a fresh session must start from the same state a fresh
+            transcriber would; same row selection as the step's
+            idle-row freeze)."""
+            return _carry_rows_select(keep, carry, init0, lstm=lstm)
 
         self._reset_rows = reset_rows
 
@@ -829,9 +882,20 @@ class MultiStreamTranscriber:
         Returns False (no device work) when none is ready."""
         hop = self.fe.hop
         s_chunk = self.chunk_frames * hop
-        ready = [i for i, s in enumerate(self._slots)
-                 if s is not None and not s.closed
-                 and len(s.pending) >= s_chunk]
+        ready = []
+        for i, s in enumerate(self._slots):
+            if s is None or s.closed:
+                continue
+            if len(s.pending) < s_chunk and s.draining and s.emitted < s.t1:
+                # draining slots self-pad so the shared ticker can drive
+                # the drain (serve.finish no longer loops under its
+                # lock). The zeros are past t1 -> masked; re-padding
+                # after a failed step is a no-op (already == s_chunk).
+                s.pending = np.concatenate(
+                    [s.pending,
+                     np.zeros((s_chunk - len(s.pending),), np.float32)])
+            if len(s.pending) >= s_chunk:
+                ready.append(i)
         if not ready:
             return False
         S = self.max_streams
@@ -871,19 +935,19 @@ class MultiStreamTranscriber:
             hi = min(self._delta, cap - base_w)
             if hi > lo:
                 if self.decoder == "beam" and s.native is not None:
-                    frag, s.committed = _native_emit(
+                    frag, s.committed, offs = _native_emit(
                         s.native, s.committed, rows_all[i], lo, hi,
                         self.alphabet)
                 elif self.decoder == "beam":
-                    frag, s.beams, s.committed = _beam_emit(
+                    frag, s.beams, s.committed, offs = _beam_emit(
                         s.beams, s.committed, rows_all[i], lo, hi,
-                        self.alphabet, self._beam_kw)
+                        self.alphabet, self._beam_kw, base_w=base_w)
                 else:
                     frag, s.last_id, offs = _greedy_emit(
                         rows_all[i], lo, hi, s.last_id,
                         self.alphabet.labels, self.blank_id,
                         base_w=base_w)
-                    s.offsets.extend(offs)
+                s.offsets.extend(offs)
                 if frag:
                     s.parts.append(frag)
                     s.fresh.append(frag)
@@ -896,7 +960,9 @@ class MultiStreamTranscriber:
         return "".join(self._require(sid).parts)
 
     def offsets(self, sid: int) -> np.ndarray:
-        """Per-character conv-frame offsets (greedy decode only)."""
+        """Per-character conv-frame offsets. Greedy: exact offline
+        parity. Beam: commit-time best-alignment frames (frozen like
+        the text; replaced wholesale on a flush retraction)."""
         return np.asarray(self._require(sid).offsets, np.int64)
 
     def take_text(self, sid: int) -> str:
@@ -910,12 +976,30 @@ class MultiStreamTranscriber:
         """End of stream ``sid``: drain its pipeline (other ready
         streams keep advancing on the shared ticks) and return its
         remaining newly-final text. The slot stays readable via
-        text()/take_text() until close()."""
+        text()/take_text() until close().
+
+        Decomposed as begin_flush / tick-until-flush_done /
+        finalize_flush so a serving layer can let its shared ticker
+        drive the drain without holding a service-wide lock through
+        every device step (round-3 ADVICE #3)."""
         s = self._require(sid)
         if s.closed:
             return ""
+        before = len(s.parts)
+        self.begin_flush(sid)
+        while not self.flush_done(sid):
+            self.tick()
+        return self._finalize(s, before)
+
+    def begin_flush(self, sid: int) -> None:
+        """Mark end-of-stream: fix t_f/t1 from the samples fed so far
+        and queue the reflect-pad tail. Idempotent; subsequent tick()s
+        (anyone's — e.g. a serving ticker thread) self-pad and advance
+        the drain until flush_done()."""
+        s = self._require(sid)
+        if s.closed or s.draining:
+            return
         hop = self.fe.hop
-        s_chunk = self.chunk_frames * hop
         s.t_f = 1 + s.n_samples // hop
         s.t1 = (s.t_f - 1) // 2 + 1
         s.draining = True
@@ -923,29 +1007,45 @@ class MultiStreamTranscriber:
                              self.fe.n_fft // 2,
                              4 * self.chunk_frames * hop)
         s.pending = np.concatenate([s.pending, tail])
-        before = len(s.parts)
-        while s.emitted < s.t1:
-            if len(s.pending) < s_chunk:
-                s.pending = np.concatenate(
-                    [s.pending, np.zeros((s_chunk,), np.float32)])
-            self.tick()
+
+    def flush_done(self, sid: int) -> bool:
+        """True once every frame up to t1 has been emitted (or the
+        slot is already finalized)."""
+        s = self._require(sid)
+        return s.closed or (s.draining and s.emitted >= s.t1)
+
+    def finalize_flush(self, sid: int) -> str:
+        """Final decode readout after the drain completed; returns the
+        FULL final text. Idempotent once closed."""
+        s = self._require(sid)
+        if not s.closed:
+            self._finalize(s, 0)
+        return "".join(s.parts)
+
+    def _finalize(self, s: _StreamSlot, before: int) -> str:
+        """Beam final readout + close; returns newly-final text since
+        ``before`` (or the full text on a beam retraction, which is
+        authoritative)."""
         if self.decoder == "beam":
             committed_text = "".join(s.parts)
             if s.native is not None:
-                ids, _ = s.native.best()
+                ids, frames, _ = s.native.best_with_frames()
                 final = self.alphabet.decode([int(x) for x in ids])
                 extra = (final[len(committed_text):]
                          if final.startswith(committed_text) else final)
             else:
-                extra, final = _beam_final(s.beams, committed_text,
-                                           self.alphabet, self._beam_kw)
+                extra, final, frames = _beam_final(
+                    s.beams, committed_text, self.alphabet, self._beam_kw)
             if final.startswith(committed_text):
                 if extra:
                     s.parts.append(extra)
                     s.fresh.append(extra)
+                    s.offsets.extend(int(x) for x in
+                                     frames[len(committed_text):])
             else:  # rare retraction: the final text is authoritative
                 s.parts = [final]
                 s.fresh = [final]
+                s.offsets = [int(x) for x in frames]
                 s.closed = True
                 return final
         s.closed = True
