@@ -227,6 +227,73 @@ def test_mid_epoch_resume_exact_epoch_scan(corpus, tmp_path):
     _params_equal(pkg_cont, pkg_res)
 
 
+def test_mid_epoch_resume_other_cap_exact(corpus, tmp_path):
+    """Resuming a mid-chunk checkpoint under a DIFFERENT
+    --checkpoint-per-batch cap still reproduces the continuous run
+    exactly: per-step augmentation rng is fold_in(base_rng, global
+    step), independent of chunk boundaries (round-3 ADVICE #1)."""
+    from tpuasr.audio.augment import AugmentConfig, make_augment_fn
+    from tpuasr.data.resident import ResidentBatchLoader
+
+    tc = TrainConfig(lr=3e-3, learning_anneal=1.0)
+    aug = lambda: make_augment_fn(  # noqa: E731
+        AugmentConfig(tempo_gain=True, spec_augment=True))
+
+    def loader():
+        plan = make_buckets(read_manifest(corpus), 2, BucketSpec(), seed=1)
+        return ResidentBatchLoader(plan, Alphabet())
+
+    save = tmp_path / "cont"
+    lc = LoopConfig(epochs=2, save_folder=str(save), checkpoint_per_batch=1,
+                    checkpoint_per_epoch=False, quiet=True, use_mesh=False)
+    pkg_cont = train(MC, FrontendConfig(), tc, lc, loader(), None, Alphabet(),
+                     augment_fn=aug())
+    mid = save / "tpuasr_e0_b1.ckpt"
+    assert mid.exists()
+
+    # resume with NO cap (one scan per bucket): chunk boundaries differ
+    # from both the saving run (cap=1) and any continuous cap — params
+    # must still match exactly
+    lc2 = LoopConfig(epochs=2, save_folder=None, checkpoint_per_epoch=False,
+                     checkpoint_per_batch=0, quiet=True, use_mesh=False)
+    pkg_res = train(MC, FrontendConfig(), tc, lc2, loader(), None, Alphabet(),
+                    continue_from=str(mid), augment_fn=aug())
+    _params_equal(pkg_cont, pkg_res)
+
+
+def test_epoch_scan_matches_streaming_with_augmentation(corpus):
+    """With boundary-independent rng (fold_in(base_rng, global step) on
+    BOTH paths), the epoch-scan and streaming loops now produce the
+    same trajectory even WITH augmentation."""
+    from tpuasr.audio.augment import AugmentConfig, make_augment_fn
+    from tpuasr.data.resident import ResidentBatchLoader
+
+    tc = TrainConfig(lr=3e-3, learning_anneal=1.0)
+    aug = lambda: make_augment_fn(  # noqa: E731
+        AugmentConfig(tempo_gain=True, spec_augment=True))
+
+    def make_plan():
+        plan = make_buckets(read_manifest(corpus), 4, BucketSpec(), seed=1)
+        plan.homogeneous = True
+        return plan
+
+    lc = lambda: LoopConfig(epochs=2, quiet=True, use_mesh=False)  # noqa: E731
+    pkg_stream = train(MC, FrontendConfig(), tc, lc(),
+                       AudioBatchLoader(make_plan(), Alphabet()), None,
+                       Alphabet(), augment_fn=aug())
+    pkg_scan = train(MC, FrontendConfig(), tc, lc(),
+                     ResidentBatchLoader(make_plan(), Alphabet()), None,
+                     Alphabet(), augment_fn=aug())
+    np.testing.assert_allclose(pkg_scan.loss_history,
+                               pkg_stream.loss_history, rtol=1e-4)
+    diffs = jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a, np.float32)
+                                  - np.asarray(b, np.float32)).max()),
+        pkg_scan.variables["params"], pkg_stream.variables["params"],
+    )
+    assert max(jax.tree.leaves(diffs)) < 1e-4, diffs
+
+
 def test_mid_epoch_resume_exact_streaming(corpus, tmp_path):
     """Same contract on the streaming loader path."""
     from tpuasr.audio.augment import AugmentConfig, make_augment_fn

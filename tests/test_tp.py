@@ -101,3 +101,64 @@ def test_make_mesh_tp_validates():
     mesh = make_mesh(jax.devices()[:8], tp=2)
     assert mesh.axis_names == ("data", MODEL_AXIS)
     assert mesh.devices.shape == (4, 2)
+
+
+@pytest.mark.parametrize("impl", ["pallas", "pallas2"])
+def test_direction_tp_pallas_matches_single_device(impl):
+    """Direction-TP (round-4): at tp=2 the fused Pallas kernels run one
+    direction per model shard via shard_map (zero per-step
+    collectives). The dp x tp training trajectory must equal the
+    single-device fused run."""
+    from jax.sharding import set_mesh
+
+    import tpuasr.ops.gru as gru_ops
+    import tpuasr.ops.gru2 as gru2_ops
+
+    gru_ops.INTERPRET = True
+    gru2_ops.INTERPRET = True
+    try:
+        alphabet = Alphabet()
+        fe = FrontendConfig()
+        mc = ModelConfig(n_classes=alphabet.size, hidden_size=16,
+                         hidden_layers=2, rnn_impl=impl,
+                         compute_dtype=jnp.float32)
+        tc = TrainConfig()
+        step = make_train_step(mc, fe, tc)
+        data = _data(b=8, n=4000)
+
+        losses0 = []
+        s = init_train_state(mc, tc, jax.random.PRNGKey(0))
+        for i in range(3):
+            s, m = step(s, *data, jnp.float32(3e-4), jax.random.PRNGKey(i))
+            losses0.append(float(m["loss"]))
+
+        mesh = make_mesh(jax.devices()[:8], tp=2)
+        s1 = init_train_state(mc, tc, jax.random.PRNGKey(0))
+        s1 = TrainState(
+            params=shard_params(mesh, s1.params, direction_tp=True),
+            batch_stats=jax.tree.map(
+                lambda x: jax.device_put(
+                    x, jax.sharding.NamedSharding(mesh, P())),
+                s1.batch_stats),
+            opt_state=shard_params(mesh, s1.opt_state, direction_tp=True),
+            step=s1.step,
+        )
+        sharded_data = shard_batch(mesh, data)
+        losses1 = []
+        with set_mesh(mesh):
+            # fresh jit so the shard_map'd kernel path retraces under
+            # the ambient mesh
+            step2 = make_train_step(mc, fe, tc)
+            for i in range(3):
+                s1, m = step2(s1, *sharded_data, jnp.float32(3e-4),
+                              jax.random.PRNGKey(i))
+                losses1.append(float(m["loss"]))
+
+        np.testing.assert_allclose(losses1, losses0, rtol=3e-4)
+        # the DIRECTION axis really is distributed over `model`
+        rk = s1.params["rnn0"]["bi"]["recurrent_kernel"]
+        assert rk.sharding.spec == P(MODEL_AXIS)
+        assert len(rk.sharding.device_set) == 8
+    finally:
+        gru_ops.INTERPRET = False
+        gru2_ops.INTERPRET = False

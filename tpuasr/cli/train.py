@@ -129,15 +129,31 @@ def main(argv=None) -> int:
     alphabet = alphabet_from(args)
     frontend_cfg = frontend_config_from(args)
     model_cfg = model_config_from(args, alphabet, frontend_cfg.n_features)
-    if args.mesh_tp > 1 and (model_cfg.rnn_impl != "scan"
-                             or args.ctc_impl != "scan"):
-        # Pallas custom calls are single-device programs GSPMD cannot
-        # partition over the model axis; TP runs the XLA scan math
+    # TP x Pallas composition rules (round-4): at tp=2 with a
+    # bidirectional fused-kernel model, the RNN kernels stay ON —
+    # BiRecurrentCore shard_maps one direction per model shard (zero
+    # per-step collectives; train/mesh.py direction-TP). Anything else
+    # (tp>2, unidirectional, rnn types without a kernel) downgrades to
+    # the GSPMD scan math, which gate-shards but all-gathers hidden
+    # state per step. The Pallas CTC loss is not partitionable either
+    # way — it always downgrades under TP.
+    direction_tp_ok = (
+        args.mesh_tp == 2 and model_cfg.bidirectional
+        and ((model_cfg.rnn_impl == "pallas"
+              and model_cfg.rnn_type in ("gru", "lstm"))
+             or (model_cfg.rnn_impl == "pallas2"
+                 and model_cfg.rnn_type == "gru")))
+    if args.mesh_tp > 1 and model_cfg.rnn_impl != "scan" \
+            and not direction_tp_ok:
         import dataclasses
 
         model_cfg = dataclasses.replace(model_cfg, rnn_impl="scan")
+        print("mesh-tp: rnn impl -> scan (direction-TP needs tp=2 + a "
+              "bidirectional gru/lstm kernel config; gate-axis TP runs "
+              "the XLA scan math)", flush=True)
+    if args.mesh_tp > 1 and args.ctc_impl != "scan":
         args.ctc_impl = "scan"
-        print("mesh-tp > 1: rnn/ctc impl -> scan (Pallas kernels are "
+        print("mesh-tp > 1: ctc impl -> scan (the Pallas CTC kernel is "
               "not GSPMD-partitionable)", flush=True)
     train_cfg = TrainConfig(
         lr=args.lr, momentum=args.momentum, max_norm=args.max_norm,

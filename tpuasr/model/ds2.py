@@ -334,6 +334,46 @@ class RecurrentCore(nn.Module):
         return ys * mask[:, :, None].astype(ys.dtype)
 
 
+def _ambient_direction_tp():
+    """The ambient mesh when direction-TP applies (a 2-way ``model``
+    axis set via jax.sharding.set_mesh — train.loop.mesh_ctx does this
+    for --mesh-tp 2 + fused kernels): BiRecurrentCore then runs its
+    Pallas kernels ONE DIRECTION PER MODEL SHARD via shard_map. The
+    directions of a bidirectional scan are embarrassingly parallel, so
+    this TP needs ZERO per-step collectives — unlike gate-axis TP,
+    which all-gathers hidden state every time step (train/mesh.py)."""
+    try:
+        from jax.sharding import get_abstract_mesh
+
+        am = get_abstract_mesh()
+        shape = dict(getattr(am, "shape", {}) or {})
+        if shape.get("model") == 2 and "data" in shape:
+            return am
+    except Exception:
+        pass
+    return None
+
+
+def _maybe_direction_shard(fused):
+    """Wrap a (T,2,B,*)-layout fused bi-kernel in a direction-sharding
+    shard_map when an ambient 2-way model mesh is set (no-op
+    otherwise). Each shard sees a singleton direction axis — the
+    kernels are direction-count generic."""
+    am = _ambient_direction_tp()
+    if am is None:
+        return fused
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    return shard_map(
+        fused, mesh=am,
+        in_specs=(P(None, "model", "data"), P("model"), P("model"),
+                  P(None, "model", "data")),
+        out_specs=P(None, "model", "data"),
+        check_vma=False,  # pallas outputs carry no vma
+    )
+
+
 class BiRecurrentCore(nn.Module):
     """Direction-batched bidirectional RNN core.
 
@@ -382,6 +422,18 @@ class BiRecurrentCore(nn.Module):
             # gate-major kernel: no per-step relayouts (tpuasr.ops.gru2)
             from tpuasr.ops.gru2 import bigru_pallas2
 
+            am = _ambient_direction_tp()
+            if am is not None:
+                from jax import shard_map
+                from jax.sharding import PartitionSpec as P
+
+                bigru_pallas2 = shard_map(
+                    bigru_pallas2, mesh=am,
+                    in_specs=(P(None, "model", None, "data"), P("model"),
+                              P("model"), P(None, "model", "data")),
+                    out_specs=P(None, "model", "data"),
+                    check_vma=False,  # pallas outputs carry no vma
+                )
             xg_g = (
                 jnp.einsum(
                     "dbti,digh->tdgbh",
@@ -411,6 +463,7 @@ class BiRecurrentCore(nn.Module):
         if self.impl == "pallas" and self.rnn_type == "gru":
             from tpuasr.ops.gru import bigru_pallas
 
+            bigru_pallas = _maybe_direction_shard(bigru_pallas)
             ys = bigru_pallas(
                 xg_t.astype(dt), w_h.astype(dt), b_h.astype(jnp.float32),
                 mask_t.astype(jnp.float32),
@@ -421,6 +474,7 @@ class BiRecurrentCore(nn.Module):
         if self.impl == "pallas" and self.rnn_type == "lstm":
             from tpuasr.ops.lstm import bilstm_pallas
 
+            bilstm_pallas = _maybe_direction_shard(bilstm_pallas)
             ys = bilstm_pallas(
                 xg_t.astype(dt), w_h.astype(dt), b_h.astype(jnp.float32),
                 mask_t.astype(jnp.float32),

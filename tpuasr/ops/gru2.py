@@ -34,6 +34,10 @@ INTERPRET = False
 
 
 def _fwd_kernel(xg_ref, wh_ref, bh_ref, m_ref, out_ref, h_ref, *, time_chunk):
+    # direction-count generic: 2 normally, 1 per shard under
+    # direction-TP (model/ds2.py shard_map) or in RecurrentCore
+    n_dir = xg_ref.shape[1]
+
     @pl.when(pl.program_id(0) == 0)
     def _init():
         h_ref[:] = jnp.zeros_like(h_ref)
@@ -49,7 +53,7 @@ def _fwd_kernel(xg_ref, wh_ref, bh_ref, m_ref, out_ref, h_ref, *, time_chunk):
             return out  # [hr, hz, hn] each (B, H) f32
 
         new_h = []
-        for d in range(2):
+        for d in range(n_dir):
             hr, hz, hn = gates(d)
             xr = xg_ref[t, d, 0].astype(jnp.float32)
             xz = xg_ref[t, d, 1].astype(jnp.float32)
@@ -62,7 +66,7 @@ def _fwd_kernel(xg_ref, wh_ref, bh_ref, m_ref, out_ref, h_ref, *, time_chunk):
             m = m_ref[t, d][:, None].astype(jnp.float32)  # (B, 1)
             new_h.append(m * h_new + (1.0 - m) * h_prev)
 
-        for d in range(2):
+        for d in range(n_dir):
             h_ref[d] = new_h[d].astype(h_ref.dtype)
             out_ref[t, d] = new_h[d].astype(out_ref.dtype)
         return 0
@@ -74,6 +78,7 @@ def _bwd_kernel(xg_ref, wh_ref, bh_ref, m_ref, hprev_ref, dy_ref,
                 dg_ref, dh_ref, *, time_chunk):
     """Reverse-time chunks; emits per-gate grads
     dg[t, d, 0..3] = [dxr(=dhr), dxz(=dhz), dxn, dhn]."""
+    n_dir = xg_ref.shape[1]
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
@@ -81,7 +86,7 @@ def _bwd_kernel(xg_ref, wh_ref, bh_ref, m_ref, hprev_ref, dy_ref,
 
     def body(i, _):
         t = time_chunk - 1 - i
-        for d in range(2):
+        for d in range(n_dir):
             h_prev = hprev_ref[t, d].astype(jnp.float32)
             hr = jnp.dot(hprev_ref[t, d], wh_ref[d, 0],
                          preferred_element_type=jnp.float32) \
@@ -162,7 +167,7 @@ def bigru_pallas2(xg, w_h, b_h, mask, time_chunk=DEFAULT_TIME_CHUNK):
 
 
 def _fwd(xg, w_h, b_h, mask, time_chunk):
-    t_orig, _, _, b, h = xg.shape
+    t_orig, n_dir, _, b, h = xg.shape
     xg_p = _pad_time(xg, time_chunk)
     m_p = _pad_time(mask.astype(jnp.float32), time_chunk)
     t_pad = xg_p.shape[0]
@@ -172,20 +177,21 @@ def _fwd(xg, w_h, b_h, mask, time_chunk):
         functools.partial(_fwd_kernel, time_chunk=time_chunk),
         grid=(n_chunks,),
         in_specs=[
-            pl.BlockSpec((time_chunk, 2, 3, b, h), lambda i: (i, 0, 0, 0, 0),
+            pl.BlockSpec((time_chunk, n_dir, 3, b, h),
+                         lambda i: (i, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, 3, h, h), lambda i: (0, 0, 0, 0),
+            pl.BlockSpec((n_dir, 3, h, h), lambda i: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, 3, h), lambda i: (0, 0, 0),
+            pl.BlockSpec((n_dir, 3, h), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((time_chunk, 2, b), lambda i: (i, 0, 0),
+            pl.BlockSpec((time_chunk, n_dir, b), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((time_chunk, 2, b, h),
+        out_specs=pl.BlockSpec((time_chunk, n_dir, b, h),
                                lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((t_pad, 2, b, h), xg.dtype),
-        scratch_shapes=[pltpu.VMEM((2, b, h), xg.dtype)],
+        out_shape=jax.ShapeDtypeStruct((t_pad, n_dir, b, h), xg.dtype),
+        scratch_shapes=[pltpu.VMEM((n_dir, b, h), xg.dtype)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         interpret=INTERPRET,
     )(xg_p, w_h.astype(xg.dtype), b_h.astype(jnp.float32), m_p)
@@ -195,7 +201,7 @@ def _fwd(xg, w_h, b_h, mask, time_chunk):
 
 def _bwd(time_chunk, res, dy):
     xg, w_h, b_h, mask, ys = res
-    t_orig, _, _, b, h = xg.shape
+    t_orig, n_dir, _, b, h = xg.shape
 
     h_prev = jnp.concatenate([jnp.zeros_like(ys[:1]), ys[:-1]], axis=0)
     xg_p = _pad_time(xg, time_chunk)
@@ -212,22 +218,23 @@ def _bwd(time_chunk, res, dy):
         functools.partial(_bwd_kernel, time_chunk=time_chunk),
         grid=(n_chunks,),
         in_specs=[
-            pl.BlockSpec((time_chunk, 2, 3, b, h), rev5,
+            pl.BlockSpec((time_chunk, n_dir, 3, b, h), rev5,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, 3, h, h), lambda i: (0, 0, 0, 0),
+            pl.BlockSpec((n_dir, 3, h, h), lambda i: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, 3, h), lambda i: (0, 0, 0),
+            pl.BlockSpec((n_dir, 3, h), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((time_chunk, 2, b), rev3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((time_chunk, 2, b, h), rev4,
+            pl.BlockSpec((time_chunk, n_dir, b), rev3,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((time_chunk, 2, b, h), rev4,
+            pl.BlockSpec((time_chunk, n_dir, b, h), rev4,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((time_chunk, n_dir, b, h), rev4,
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((time_chunk, 2, 4, b, h), rev5,
+        out_specs=pl.BlockSpec((time_chunk, n_dir, 4, b, h), rev5,
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((t_pad, 2, 4, b, h), xg.dtype),
-        scratch_shapes=[pltpu.VMEM((2, b, h), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((t_pad, n_dir, 4, b, h), xg.dtype),
+        scratch_shapes=[pltpu.VMEM((n_dir, b, h), jnp.float32)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         interpret=INTERPRET,
     )(xg_p, w_h.astype(xg.dtype), b_h.astype(jnp.float32), m_p, hprev_p,

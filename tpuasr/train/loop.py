@@ -212,16 +212,40 @@ def train(
             }
             best_wer = pkg.best_wer
 
+    # Direction-TP (tp=2 + bidirectional + fused Pallas RNN kernels):
+    # shard the DIRECTION axis instead of the gate axis — zero per-step
+    # collectives, and the kernels run per-shard via shard_map inside
+    # BiRecurrentCore (which resolves the ambient mesh set below).
+    direction_tp = (
+        mesh is not None
+        and dict(zip(mesh.axis_names, mesh.devices.shape)).get("model") == 2
+        and model_cfg.rnn_impl in ("pallas", "pallas2")
+        and model_cfg.bidirectional
+    )
     if mesh is not None:
         # 1-axis mesh: replicate (DP). 2D (data, model) mesh: the RNN
         # gate matrices (and their optimizer momentum, same tree paths)
         # shard over `model` — combined dp x tp, GSPMD-partitioned.
         state = TrainState(
-            params=shard_params(mesh, state.params),
+            params=shard_params(mesh, state.params,
+                                direction_tp=direction_tp),
             batch_stats=replicate(mesh, state.batch_stats),
-            opt_state=shard_params(mesh, state.opt_state),
+            opt_state=shard_params(mesh, state.opt_state,
+                                   direction_tp=direction_tp),
             step=replicate(mesh, state.step),
         )
+
+    def mesh_ctx():
+        """Ambient-mesh context for device dispatches: BiRecurrentCore's
+        shard_map needs jax.sharding.set_mesh(mesh) to resolve the
+        'model' axis (no-op for scan impls / no mesh)."""
+        import contextlib
+
+        if direction_tp:
+            from jax.sharding import set_mesh
+
+            return set_mesh(mesh)
+        return contextlib.nullcontext()
 
     # Epoch-in-a-scan fast path: with a device-resident corpus (the
     # loader exposes bucket_chunks) one dispatch trains a whole
@@ -380,12 +404,17 @@ def train(
                         else:
                             idx_dev = jnp.asarray(idx_c)
                             valid_dev = jnp.asarray(valid_c)
-                        chunk_rng = jax.random.fold_in(base_rng, iteration)
+                        # rng + global start iteration: the runner folds
+                        # base_rng with (iteration + k), so the per-step
+                        # stream matches fold_in(base_rng, global_step)
+                        # regardless of chunk boundaries / resume cadence.
+                        k0_dev = jnp.uint32(iteration)
                         t0c = time.time()
-                        state, metrics = epoch_runner(
-                            state, *bank_arrays, idx_dev, valid_dev, lr_dev,
-                            chunk_rng,
-                        )
+                        with mesh_ctx():
+                            state, metrics = epoch_runner(
+                                state, *bank_arrays, idx_dev, valid_dev,
+                                lr_dev, base_rng, k0_dev,
+                            )
                         vals = {kk: np.asarray(v) for kk, v in metrics.items()}
                         wall = time.time() - t0c
                         per_step = wall / k
@@ -431,10 +460,11 @@ def train(
                     )
                     step_rng = jax.random.fold_in(base_rng, iteration)
                     profiler.maybe_start(iteration)
-                    state, metrics = train_step(
-                        state, waves, wave_lengths, labels, label_lengths, valid,
-                        lr_dev, step_rng,
-                    )
+                    with mesh_ctx():
+                        state, metrics = train_step(
+                            state, waves, wave_lengths, labels,
+                            label_lengths, valid, lr_dev, step_rng,
+                        )
                     iteration += 1
                     epoch_done = i + 1
                     profiler.maybe_stop(iteration)
@@ -461,7 +491,9 @@ def train(
                     "params": state.params,
                     "batch_stats": state.batch_stats,
                 }
-                wer, cer, _ = evaluate(eval_step, variables, val_loader, alphabet, mesh)
+                with mesh_ctx():
+                    wer, cer, _ = evaluate(eval_step, variables,
+                                           val_loader, alphabet, mesh)
             histories["wer"].append(wer)
             histories["cer"].append(cer)
             logger.log(epoch, {"loss": loss_meter.avg, "wer": wer, "cer": cer,

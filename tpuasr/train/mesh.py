@@ -50,11 +50,19 @@ def _leaf_key(path) -> str:
     return getattr(last, "key", getattr(last, "name", str(last)))
 
 
-def param_sharding_specs(mesh: Mesh, tree):
+def param_sharding_specs(mesh: Mesh, tree, direction_tp: bool = False):
     """PartitionSpec pytree for a params-shaped tree: RNN gate matrices
     shard their last axis over ``model`` (when present and divisible),
     everything else replicates. Works on any tree embedding the param
-    names in its paths (raw params AND optax momentum states)."""
+    names in its paths (raw params AND optax momentum states).
+
+    ``direction_tp`` (tp=2 + bidirectional + fused Pallas kernels):
+    shard the leading DIRECTION axis (size 2) of the BiRecurrentCore
+    leaves instead of the gate axis — each model shard owns one scan
+    direction whole, so the recurrence needs ZERO per-step collectives
+    (the gate-axis layout all-gathers hidden state every time step).
+    The Pallas kernels run unchanged per shard via shard_map
+    (model/ds2.py BiRecurrentCore)."""
     tp = dict(zip(mesh.axis_names, mesh.devices.shape)).get(MODEL_AXIS, 1)
 
     def spec(path, leaf):
@@ -63,18 +71,22 @@ def param_sharding_specs(mesh: Mesh, tree):
             and hasattr(leaf, "ndim")
             and leaf.ndim >= 1
             and _leaf_key(path) in _TP_SHARDED_LEAVES
-            and leaf.shape[-1] % tp == 0
         ):
-            return P(*([None] * (leaf.ndim - 1)), MODEL_AXIS)
+            if direction_tp:
+                if leaf.ndim >= 2 and leaf.shape[0] == tp == 2:
+                    return P(MODEL_AXIS)
+                return P()
+            if leaf.shape[-1] % tp == 0:
+                return P(*([None] * (leaf.ndim - 1)), MODEL_AXIS)
         return P()
 
     return jax.tree_util.tree_map_with_path(spec, tree)
 
 
-def shard_params(mesh: Mesh, tree):
+def shard_params(mesh: Mesh, tree, direction_tp: bool = False):
     """device_put a params-shaped tree under the TP sharding rules
     (falls back to full replication on a 1-axis mesh)."""
-    specs = param_sharding_specs(mesh, tree)
+    specs = param_sharding_specs(mesh, tree, direction_tp=direction_tp)
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), tree, specs
     )

@@ -181,14 +181,21 @@ def make_resident_epoch_runner(model_cfg: ModelConfig,
     bare-step rate. Returns jitted fn:
       (state, waves_bank (N,L) int16/f32, wl_bank (N,), labels_bank
        (N,C), ll_bank (N,), idx_mat (K,B) int32, valid_mat (K,B) bool,
-       lr, rng) -> (state, metrics stacked over K)
+       lr, rng, k0 (uint32 global start iteration)) ->
+      (state, metrics stacked over K)
     """
     step_fn = _build_step_fn(model_cfg, frontend_cfg, train_cfg, augment_fn)
 
     @partial(jax.jit, donate_argnums=(0,))
     def run_epoch(state: TrainState, waves_bank, wl_bank, labels_bank,
-                  ll_bank, idx_mat, valid_mat, lr, rng):
-        ks = jnp.arange(idx_mat.shape[0], dtype=jnp.uint32)
+                  ll_bank, idx_mat, valid_mat, lr, rng, k0):
+        # Per-step randomness is fold_in(rng, k0 + k) where k0 is the
+        # chunk's GLOBAL start iteration: the stream is a pure function
+        # of (seed, global step), independent of --checkpoint-per-batch
+        # chunk boundaries and identical to the streaming path's
+        # fold_in(base_rng, iteration).
+        ks = k0.astype(jnp.uint32) + jnp.arange(
+            idx_mat.shape[0], dtype=jnp.uint32)
 
         def body(carry, inp):
             idx, valid, k = inp
