@@ -298,16 +298,38 @@ def test_wide_bytes_gate():
     assert dec._kernel_lm_ineligible() is not None
 
 
-def test_wide_cap_gate():
-    """Per-order caps over MAX_WIDE_CAP (the empirical remote-compiler
-    bound, decode/beam.py) are ineligible for the fused kernel even
-    when the byte budget would allow them."""
+def test_wide_multichunk_matches_xla(monkeypatch):
+    """Orders whose block-fetch matrix exceeds MAX_WIDE_ROWS_PER_REF
+    split into multiple row-chunk kernel inputs (the round-4 path for
+    262144-cap tables): the chunked probe must reproduce the XLA
+    hashed-probe fusion exactly. Forced by shrinking the per-ref row
+    bound so a ~190-word LM (unigram cap 512, R=4) splits 4-ways."""
+    import itertools
+
     from tpuasr.decode.lm import train_ngram
 
-    lm = train_ngram(["AB C AB", "C AB"] * 2, order=2)
-    dec = DeviceBeamDecoder(ABC, beam_width=4, word_lm=lm, alpha=0.5,
-                            impl="auto")
-    dec.MAX_KERNEL_WORD_CAP = 2
-    dec.MAX_WIDE_CAP = 4  # below the tiny LM's caps
-    why = dec._kernel_lm_ineligible()
-    assert why is not None and "cap" in why
+    monkeypatch.setattr(DeviceBeamDecoder, "MAX_KERNEL_WORD_CAP", 2)
+    monkeypatch.setattr(beam_ops, "MAX_WIDE_ROWS_PER_REF", 1)
+    # ~190 distinct words over {A, B, C} -> unigram table cap 512
+    words = ["".join(p) for n in (2, 3, 4, 5)
+             for p in itertools.product("ABC", repeat=n)][:190]
+    rng = np.random.RandomState(31)
+    corpus = [" ".join(rng.choice(words, size=4)) for _ in range(120)]
+    lm = train_ngram(corpus, order=2)
+    b, t, c = 2, 10, 5
+    logits = jnp.asarray(rng.randn(b, t, c).astype(np.float32) * 2)
+    lengths = jnp.asarray(np.array([10, 7], np.int32))
+    pal = DeviceBeamDecoder(ABC, beam_width=5, word_lm=lm, alpha=1.0,
+                            beta=0.4, impl="pallas")
+    xla = DeviceBeamDecoder(ABC, beam_width=5, word_lm=lm, alpha=1.0,
+                            beta=0.4, impl="xla")
+    assert pal._use_pallas()
+    got_p = pal.decode_nbest(logits, lengths)
+    assert pal._word_wide is not None
+    assert any(m.shape[0] > 1 for m in pal._word_wide.rows)  # did split
+    got_x = xla.decode_nbest(logits, lengths)
+    for i in range(b):
+        assert [r[0] for r in got_p[i]] == [r[0] for r in got_x[i]], (
+            i, got_p[i], got_x[i])
+        for rp, rx in zip(got_p[i], got_x[i]):
+            np.testing.assert_allclose(rp[1], rx[1], rtol=2e-4, atol=2e-4)

@@ -697,15 +697,17 @@ class DeviceBeamDecoder:
     # in-kernel word-LM probing: caps up to MAX_KERNEL_WORD_CAP use the
     # full-table compare (cheapest, zero extra build); bigger tables
     # use the block-fetch MXU path (WideTables) while every per-order
-    # cap stays <= MAX_WIDE_CAP; beyond that the XLA hash-probe path
-    # decodes. The wide cap is an empirical remote-compiler bound, not
-    # a VMEM one: caps of 131072 (14 MiB/table, 21 MiB total) compile
-    # and run on v5e, while 262144 (R=2048 fetch rows, 42 MiB total —
-    # still under the kernel's 100 MiB vmem_limit) reproducibly killed
-    # the compile helper twice with no error returned (2026-08-17).
+    # total VMEM budget decides eligibility; beyond it the XLA
+    # hash-probe path decodes. Round-3 found the remote compile
+    # service reproducibly died on a monolithic 14 MiB table INPUT
+    # (262144-cap order) while 7 MiB inputs compiled fine — round 4
+    # therefore splits every order's block-fetch matrix into <=1024-row
+    # (~7 MiB) chunk refs inside beam_scan_pallas (the math is the
+    # same matmul evaluated as its row blocks), lifting the per-order
+    # cap gate; the remaining bound is total table VMEM next to the
+    # kernel's other buffers (VMEM_LIMIT = 100 MiB).
     MAX_KERNEL_WORD_CAP = 8192
-    MAX_WIDE_CAP = 131072
-    MAX_WIDE_BYTES = 32 * 1024 * 1024
+    MAX_WIDE_BYTES = 64 * 1024 * 1024
 
     def _kernel_lm_ineligible(self) -> str | None:
         """Why the fused kernel cannot fuse this decoder's LM (None =
@@ -716,10 +718,6 @@ class DeviceBeamDecoder:
                 return f"word-LM order {wt.order} > 3"
             caps = [int(k.shape[0]) for k in wt.keys1]
             if any(c > self.MAX_KERNEL_WORD_CAP for c in caps):
-                if any(c > self.MAX_WIDE_CAP for c in caps):
-                    return (f"word-LM table cap over {self.MAX_WIDE_CAP} "
-                            f"(caps {caps}); the block-fetch kernel is "
-                            f"gated at R=1024 fetch rows per order")
                 nbytes = wide_tables_bytes(wt)
                 if nbytes > self.MAX_WIDE_BYTES:
                     return (f"word-LM wide tables need {nbytes >> 20} MiB "

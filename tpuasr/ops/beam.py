@@ -56,6 +56,10 @@ from tpuasr.decode.beam import (  # noqa: E402
 
 DEFAULT_TIME_CHUNK = 8
 VMEM_LIMIT = 100 * 1024 * 1024
+# Max rows per wide-table kernel input ref (~7 MiB at 14*256 bf16
+# lanes): larger monolithic table constants killed the remote compile
+# service (round-3). Tests shrink this to exercise multi-chunk probes.
+MAX_WIDE_ROWS_PER_REF = 1024
 
 # Test hook: run the kernel in the Pallas interpreter (CPU).
 INTERPRET = False
@@ -70,8 +74,9 @@ CTX_SHIFT = 6
 def _beam_kernel(lp_ref, len_ref, *rest, time_chunk, beam_width,
                  blank_id, cutoff_top_n, cutoff_prob, prune_logp,
                  char_lm=False, word_lm=False, word_wide=False,
-                 wide_caps=(), n_probes=8, w_order=0, ring_len=0,
-                 alpha=0.0, beta=0.0, space_id=None, ctx_len=0):
+                 wide_caps=(), wide_chunks=(), n_probes=8, w_order=0,
+                 ring_len=0, alpha=0.0, beta=0.0, space_id=None,
+                 ctx_len=0):
     rest = list(rest)
     if char_lm:
         lmtab_ref = rest.pop(0)
@@ -83,8 +88,13 @@ def _beam_kernel(lp_ref, len_ref, *rest, time_chunk, beam_width,
         # two-hot row vector recovers f32-accurate scores
         r_num = lmtab_ref.shape[0] // 2
     if word_lm and word_wide:
-        # per-order ONE (R_k, WIDE_PLANES*256) bf16 block-fetch matrix
-        wtabs = [rest.pop(0) for _ in range(w_order)]
+        # per-order (R_k, WIDE_PLANES*256) bf16 block-fetch matrix,
+        # split into wide_chunks[k] row-chunk refs: a 262144-cap order
+        # (R=2048, 14 MiB) arrives as two 1024-row refs — bounding any
+        # single VMEM constant at ~7 MiB (the remote compile service
+        # died on larger monolithic table inputs; round-3 BASELINE.md)
+        wtabs = [[rest.pop(0) for _ in range(wide_chunks[k])]
+                 for k in range(w_order)]
     elif word_lm:
         # per-order (1, cap) rows: keys1, keys2, logps, backoffs
         wtabs = [tuple(rest.pop(0) for _ in range(4))
@@ -145,22 +155,32 @@ def _beam_kernel(lp_ref, len_ref, *rest, time_chunk, beam_width,
         # offset); (W*B, 1) -> (B, W) goes back via lane-axis concats
         # of offset-clean sublane slices (b is a multiple of 8 —
         # decode.beam pads ragged batches).
-        tab = wtabs[k]  # (R, 14*256) bf16
+        chunks = wtabs[k]  # list of (R_p, 14*256) bf16 row-chunks
         cap = wide_caps[k]
-        r_k = tab.shape[0]
         lanes = 256
         slot = q1 & jnp.uint32(cap - 1)  # (B, W)
         as_i32 = lambda u: jax.lax.bitcast_convert_type(u, jnp.int32)  # noqa: E731
         row = as_i32(slot >> jnp.uint32(7))
         off = as_i32(slot & jnp.uint32(127))
-        iota_r = jax.lax.broadcasted_iota(jnp.int32, (b, r_k), 1)
-        oh = jnp.concatenate(
-            [(row[:, j:j + 1] == iota_r).astype(jnp.bfloat16)
-             for j in range(w)],
-            axis=0,
-        )  # (W*B, R) — beams stacked on the sublane axis
-        fetched = jnp.dot(oh, tab[:],
-                          preferred_element_type=jnp.float32)  # (W*B, 14L)
+        # A query's row lives in exactly one chunk: the per-chunk
+        # one-hot is zero elsewhere, so summing the per-chunk fetches
+        # reconstructs the single-matrix fetch exactly (same FLOPs —
+        # the one big matmul is just evaluated as its row blocks).
+        fetched = None
+        r_base = 0
+        for tab in chunks:
+            r_p = tab.shape[0]
+            iota_r = jax.lax.broadcasted_iota(jnp.int32, (b, r_p), 1) \
+                + r_base
+            oh = jnp.concatenate(
+                [(row[:, j:j + 1] == iota_r).astype(jnp.bfloat16)
+                 for j in range(w)],
+                axis=0,
+            )  # (W*B, R_p) — beams stacked on the sublane axis
+            part = jnp.dot(oh, tab[:],
+                           preferred_element_type=jnp.float32)  # (W*B, 14L)
+            fetched = part if fetched is None else fetched + part
+            r_base += r_p
         planes = [fetched[:, p * lanes:(p + 1) * lanes] for p in range(14)]
 
         lane_b = jax.lax.broadcasted_iota(jnp.int32, (b, lanes), 1)
@@ -603,12 +623,32 @@ def beam_scan_pallas(logprobs, lengths, *, beam_width, blank_id,
     w_order = w_src.order if word_lm else 0
     ring_len = max(1, w_order - 1) if word_lm else 0
 
+    # Split each order's block-fetch matrix into <=MAX_WIDE_ROWS_PER_REF
+    # row chunks: bounds any single kernel input at ~7 MiB (the remote
+    # compile service reproducibly died on one 14 MiB monolithic table
+    # input, round-3 BASELINE.md) while keeping the math identical.
+    wide_mats: list = []
+    wide_chunks: tuple = ()
+    if word_wide:
+        split = []
+        for k in range(w_order):
+            mat = word_wide_tables.rows[k]
+            r_k = mat.shape[0]
+            n_split = -(-r_k // MAX_WIDE_ROWS_PER_REF)
+            rows_per = -(-r_k // n_split)
+            parts = [mat[p * rows_per:(p + 1) * rows_per]
+                     for p in range(n_split)]
+            split.append(parts)
+            wide_mats.extend(parts)
+        wide_chunks = tuple(len(p) for p in split)
+
     kern = functools.partial(
         _beam_kernel, time_chunk=time_chunk, beam_width=w,
         blank_id=blank_id, cutoff_top_n=cutoff_top_n,
         cutoff_prob=cutoff_prob, prune_logp=prune_logp,
         char_lm=char_lm, word_lm=word_lm, word_wide=word_wide,
         wide_caps=tuple(word_wide_tables.caps) if word_wide else (),
+        wide_chunks=wide_chunks,
         n_probes=w_src.n_probes if word_lm else 8,
         w_order=w_order,
         ring_len=ring_len, alpha=alpha, beta=beta, space_id=space_id,
@@ -639,8 +679,7 @@ def beam_scan_pallas(logprobs, lengths, *, beam_width, blank_id,
                          memory_space=pltpu.VMEM))
         inputs.append(stacked)
     if word_wide:
-        for k in range(w_order):
-            mat = word_wide_tables.rows[k]
+        for mat in wide_mats:
             in_specs.append(
                 pl.BlockSpec(mat.shape, lambda i: (0, 0),
                              memory_space=pltpu.VMEM))
