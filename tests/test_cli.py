@@ -308,3 +308,29 @@ def test_eval_cli_resident_beam_word_lm_matches_streaming(tmp_path, capsys):
         beam_ops.INTERPRET = False
     assert streaming.startswith("Test Summary")
     assert resident == streaming
+
+
+def test_plot_metrics_cli(tmp_path):
+    """plot_metrics renders loss/WER/CER curves from a metrics.jsonl
+    (the --visdom/--tensorboard parity artifact, SURVEY.md §5.5) and
+    tolerates torn tail lines from a live writer."""
+    import json
+    import math
+
+    from tpuasr.cli.plot_metrics import main as plot_main
+
+    log = tmp_path / "metrics.jsonl"
+    with open(log, "w") as f:
+        for i in range(20):
+            f.write(json.dumps({"step": i, "time": float(i),
+                                "train/loss": 30 * math.exp(-i / 5)}) + "\n")
+        for e in range(3):
+            f.write(json.dumps({"step": e, "time": 50.0 + e,
+                                "epoch/wer": 100 - 20 * e,
+                                "epoch/cer": float("nan")}) + "\n")
+        f.write('{"step": 99, "train/l')  # torn live-writer tail
+    out = tmp_path / "c.png"
+    assert plot_main([str(tmp_path), "--out", str(out)]) == 0
+    assert out.exists() and out.stat().st_size > 1000
+    # --list enumerates keys
+    assert plot_main([str(log), "--list"]) == 0

@@ -82,7 +82,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tensorboard", action="store_true")
     p.add_argument("--log-params", action="store_true")
     p.add_argument("--visdom", action="store_true",
-                   help="accepted for compatibility; maps to JSONL logging")
+                   help="accepted for compatibility; maps to JSONL "
+                   "logging — render curves (also mid-run / across "
+                   "resumes) with python -m tpuasr.cli.plot_metrics "
+                   "<log-dir>")
     p.add_argument("--seed", type=int, default=123456)
     p.add_argument("--profile-dir", default=None,
                    help="capture a JAX device trace of steps 10-15")
