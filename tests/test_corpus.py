@@ -164,3 +164,92 @@ def test_prepare_spoltech_latin1_and_empty(tmp_path):
                                str(tmp_path / "m.csv"))
     assert len(entries) == 1
     assert entries[0].read_transcript() == "NÃO É VOCÊ"
+
+
+def _lapsbm_tree(root):
+    for spk, utt, text in [
+        ("LapsBM-F004", "LapsBM_0004-01", "uma frase"),
+        ("LapsBM-M001", "LapsBM_0001-01", "outra frase"),
+    ]:
+        d = root / spk
+        d.mkdir(parents=True, exist_ok=True)
+        _wav(d / f"{utt}.wav")
+        (d / f"{utt}.txt").write_text(text)
+
+
+def test_fetch_corpus_tar_zip_and_file_url(tmp_path):
+    """The acquisition layer (the reference's download/unpack step):
+    directory pass-through, .tar.gz and .zip extraction (idempotent),
+    and file:// URL download — all end in a parseable layout."""
+    import tarfile
+    import zipfile
+
+    from tpuasr.data.corpus import fetch_corpus
+
+    root = tmp_path / "LapsBM1.4"
+    _lapsbm_tree(root)
+
+    # directory: returned as-is
+    assert fetch_corpus(str(root), str(tmp_path / "c0")) == str(root)
+
+    # tar.gz archive
+    tgz = tmp_path / "laps.tar.gz"
+    with tarfile.open(tgz, "w:gz") as t:
+        t.add(root, arcname="LapsBM1.4")
+    d1 = fetch_corpus(str(tgz), str(tmp_path / "c1"))
+    assert (tmp_path / "c1" / "laps" / "LapsBM1.4").is_dir()
+    out, man = tmp_path / "o1", str(tmp_path / "m1.csv")
+    assert len(prepare_lapsbm(d1, str(out), man)) == 2
+    # idempotent: second fetch reuses the extraction marker
+    before = (tmp_path / "c1" / "laps" / ".extracted").stat().st_mtime
+    assert fetch_corpus(str(tgz), str(tmp_path / "c1")) == d1
+    assert (tmp_path / "c1" / "laps" / ".extracted").stat().st_mtime == before
+
+    # zip archive via a file:// URL (exercises the download path too)
+    zp = tmp_path / "laps.zip"
+    with zipfile.ZipFile(zp, "w") as z:
+        for f in sorted(root.rglob("*")):
+            if f.is_file():
+                z.write(f, f"LapsBM1.4/{f.relative_to(root)}")
+    d2 = fetch_corpus(f"file://{zp}", str(tmp_path / "c2"))
+    assert (tmp_path / "c2" / "laps.zip").exists()  # downloaded copy
+    out2, man2 = tmp_path / "o2", str(tmp_path / "m2.csv")
+    assert len(prepare_lapsbm(d2, str(out2), man2)) == 2
+
+
+def test_fetch_corpus_rejects_traversal(tmp_path):
+    import tarfile
+
+    import pytest
+
+    from tpuasr.data.corpus import fetch_corpus
+
+    evil = tmp_path / "evil.tar"
+    payload = tmp_path / "x.txt"
+    payload.write_text("boom")
+    with tarfile.open(evil, "w") as t:
+        t.add(payload, arcname="../../escape.txt")
+    with pytest.raises(ValueError, match="escapes"):
+        fetch_corpus(str(evil), str(tmp_path / "c"))
+
+
+def test_corpus_cli_from_archive(tmp_path):
+    """End-to-end: the corpus CLI takes an ARCHIVE --source, extracts
+    it to --cache-dir, and emits a manifest."""
+    import tarfile
+
+    from tpuasr.data.corpus import main as corpus_main
+
+    root = tmp_path / "LapsBM1.4"
+    _lapsbm_tree(root)
+    tgz = tmp_path / "laps.tgz"
+    with tarfile.open(tgz, "w:gz") as t:
+        t.add(root, arcname="LapsBM1.4")
+    man = tmp_path / "man.csv"
+    rc = corpus_main([
+        "lapsbm", "--source", str(tgz),
+        "--out-dir", str(tmp_path / "out"),
+        "--manifest", str(man),
+    ])
+    assert rc == 0
+    assert len(read_manifest(str(man))) == 2

@@ -44,6 +44,86 @@ from tpuasr.data.manifest import ManifestEntry, with_durations, write_manifest
 TARGET_SR = 16000
 
 
+def fetch_corpus(source: str, cache_dir: str) -> str:
+    """Acquire a corpus source: URL download + archive extraction.
+
+    The reference's prep scripts downloaded and unpacked each corpus
+    before parsing (ref:data/ per SURVEY.md §3.1); this is that layer.
+    Accepts, and returns a local DIRECTORY for:
+      * a directory path — returned as-is (no copy);
+      * a local ``.tar[.gz|.bz2]``/``.tgz``/``.zip`` archive — extracted
+        under ``cache_dir`` (idempotent: a ``.extracted`` marker skips
+        re-extraction);
+      * an ``http(s)://`` or ``file://`` URL to such an archive —
+        downloaded to ``cache_dir`` first (atomic ``.part`` rename;
+        an existing complete download is reused).
+    Extraction refuses path-traversal members (``..`` / absolute).
+
+    No corpus URLs are baked in: the reference's mirrors move and this
+    build environment has no network to validate them — pass the URL
+    of your mirror (or a pre-downloaded archive) explicitly."""
+    import shutil
+    import tarfile
+    import urllib.parse
+    import urllib.request
+    import zipfile
+
+    cache = Path(cache_dir)
+    parsed = urllib.parse.urlparse(source)
+    if parsed.scheme in ("http", "https", "file"):
+        cache.mkdir(parents=True, exist_ok=True)
+        name = os.path.basename(parsed.path) or "corpus.archive"
+        archive = cache / name
+        if not archive.exists():
+            part = archive.with_suffix(archive.suffix + ".part")
+            with urllib.request.urlopen(source) as r, open(part, "wb") as f:
+                shutil.copyfileobj(r, f)
+            os.replace(part, archive)
+        source = str(archive)
+
+    src = Path(source)
+    if src.is_dir():
+        return str(src)
+    if not src.exists():
+        raise FileNotFoundError(f"corpus source {source} does not exist")
+
+    cache.mkdir(parents=True, exist_ok=True)
+    stem = src.name
+    for suf in (".tar.gz", ".tar.bz2", ".tgz", ".tar", ".zip"):
+        if stem.endswith(suf):
+            stem = stem[: -len(suf)]
+            break
+    dest = cache / stem
+    marker = dest / ".extracted"
+    if marker.exists():
+        return str(dest)
+    dest.mkdir(parents=True, exist_ok=True)
+
+    def _safe(names):
+        for n in names:
+            p = Path(n)
+            if p.is_absolute() or ".." in p.parts:
+                raise ValueError(f"archive member escapes target: {n!r}")
+
+    if zipfile.is_zipfile(src):
+        with zipfile.ZipFile(src) as z:
+            _safe(z.namelist())
+            z.extractall(dest)
+    elif tarfile.is_tarfile(src):
+        with tarfile.open(src) as t:
+            _safe(t.getnames())
+            # filter="data" is Python 3.12's sanitizer (strips suid,
+            # device nodes, absolute paths) — defense in depth on top
+            # of the explicit traversal check above
+            t.extractall(dest, filter="data")
+    else:
+        raise ValueError(
+            f"{source} is neither a directory nor a recognized archive "
+            "(.tar/.tar.gz/.tgz/.tar.bz2/.zip)")
+    marker.touch()
+    return str(dest)
+
+
 def normalize_transcript(text: str, keep_accents: bool = True) -> str:
     """Uppercase, strip punctuation/digit-free normalization used by the
     reference family for PT-BR transcripts."""
@@ -288,7 +368,12 @@ def main(argv=None) -> int:
     )
     p.add_argument("corpus", choices=sorted(CORPORA))
     p.add_argument("--source", required=True,
-                   help="unpacked corpus directory (no network here)")
+                   help="corpus directory, archive (.tar[.gz]/.zip), or "
+                   "http(s)/file URL of one (downloaded + extracted to "
+                   "--cache-dir; the reference's download step)")
+    p.add_argument("--cache-dir", default=None,
+                   help="where URL downloads / archive extractions land "
+                   "(default <out-dir>/_cache)")
     p.add_argument("--out-dir", required=True)
     p.add_argument("--manifest", required=True)
     p.add_argument("--sample-rate", type=int, default=TARGET_SR)
@@ -297,8 +382,11 @@ def main(argv=None) -> int:
     p.add_argument("--max-duration", type=float, default=None,
                    help="prune utterances longer than this (seconds)")
     args = p.parse_args(argv)
+    source = fetch_corpus(
+        args.source, args.cache_dir or os.path.join(args.out_dir, "_cache")
+    )
     entries = CORPORA[args.corpus](
-        args.source, args.out_dir, args.manifest, sample_rate=args.sample_rate
+        source, args.out_dir, args.manifest, sample_rate=args.sample_rate
     )
     if args.min_duration is not None or args.max_duration is not None:
         from tpuasr.data.manifest import order_and_prune
