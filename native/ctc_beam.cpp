@@ -347,6 +347,38 @@ void decode_one(const float* logprobs, int T, int C, const DecodeConfig& cfg,
   best_beam(beams, cfg, lm, labels, out_ids, out_score, out_frames);
 }
 
+// All live beams, finalized (partial word closed against the LM) and
+// sorted best-first — ctcdecode returns every beam, not just the top.
+struct FinalBeam {
+  const std::vector<int>* prefix;
+  const std::vector<int>* frames;
+  float total;
+};
+
+std::vector<FinalBeam> finalized_beams(const BeamMap& beams,
+                                       const DecodeConfig& cfg,
+                                       const Lm* lm,
+                                       const std::vector<std::string>& labels) {
+  std::vector<FinalBeam> out;
+  out.reserve(beams.size());
+  for (auto& kv : beams) {
+    float total = kv.second.total();
+    if (lm && cfg.space >= 0) {
+      std::string w = last_word(kv.first, cfg.space, labels);
+      if (!w.empty()) {
+        auto ctx = context_words(kv.first, cfg.space, labels);
+        total += cfg.alpha * lm->score(ctx, token_hash(w)) + cfg.beta;
+      }
+    }
+    out.push_back({&kv.first, &kv.second.frames, total});
+  }
+  std::sort(out.begin(), out.end(),
+            [](const FinalBeam& a, const FinalBeam& b) {
+              return a.total > b.total;
+            });
+  return out;
+}
+
 // Incremental beam session for live streams (tpuasr.stream): the beam
 // map persists across feed() calls; prefix() reports the stable common
 // prefix of every live beam (what streaming may commit); best()
@@ -404,8 +436,75 @@ void tpuasr_lm_free(void* lm) { delete static_cast<Lm*>(lm); }
 
 // ABI version guard for the ctypes loader: bumped whenever an exported
 // signature changes (v2: per-char emission frames in batch + session
-// readouts). A stale .so must never be dlopened against newer argtypes.
-int tpuasr_abi_version() { return 2; }
+// readouts; v3: n-best batch decode). A stale .so must never be
+// dlopened against newer argtypes.
+int tpuasr_abi_version() { return 3; }
+
+// n-best batch decode (ctcdecode's full output): per utterance the
+// top-n finalized beams, best-first. out_ids/out_frames are
+// (B, n_best, T); out_lens/out_scores are (B, n_best). Rows past the
+// number of live beams get len 0 / score -1e30.
+int tpuasr_beam_decode_batch_nbest(
+    const float* logprobs, const int* lengths, int B, int T, int C,
+    const char* const* labels, int blank, int space, int beam_width,
+    void* lm_handle, float alpha, float beta, int cutoff_top_n,
+    float cutoff_prob, float prune_logp, int num_threads, int n_best,
+    int* out_ids, int* out_frames, int* out_lens, float* out_scores) {
+  std::vector<std::string> lab(C);
+  for (int i = 0; i < C; ++i) lab[i] = labels[i];
+  const Lm* lm = static_cast<const Lm*>(lm_handle);
+  DecodeConfig cfg;
+  cfg.blank = blank;
+  cfg.space = space;
+  cfg.beam_width = beam_width;
+  cfg.alpha = alpha;
+  cfg.beta = beta;
+  cfg.cutoff_top_n = cutoff_top_n;
+  cfg.cutoff_prob = cutoff_prob;
+  cfg.prune_logp = prune_logp;
+
+  auto work = [&](int b) {
+    BeamMap beams = beams_init();
+    std::vector<int> cand(C);
+    const float* lp = logprobs + (size_t)b * T * C;
+    for (int t = 0; t < lengths[b]; ++t)
+      advance(beams, lp + (size_t)t * C, C, cfg, lm, lab, cand, t);
+    auto ranked = finalized_beams(beams, cfg, lm, lab);
+    for (int j = 0; j < n_best; ++j) {
+      size_t base = ((size_t)b * n_best + j) * T;
+      if (j < (int)ranked.size()) {
+        const auto& fb = ranked[j];
+        int n = std::min<int>((int)fb.prefix->size(), T);
+        std::copy(fb.prefix->begin(), fb.prefix->begin() + n,
+                  out_ids + base);
+        if (out_frames) {
+          int nf = std::min<int>((int)fb.frames->size(), n);
+          std::copy(fb.frames->begin(), fb.frames->begin() + nf,
+                    out_frames + base);
+        }
+        out_lens[(size_t)b * n_best + j] = n;
+        out_scores[(size_t)b * n_best + j] = fb.total;
+      } else {
+        out_lens[(size_t)b * n_best + j] = 0;
+        out_scores[(size_t)b * n_best + j] = kNeg;
+      }
+    }
+  };
+
+  if (num_threads <= 1) {
+    for (int b = 0; b < B; ++b) work(b);
+  } else {
+    std::vector<std::thread> pool;
+    std::atomic<int> cursor{0};
+    for (int i = 0; i < num_threads; ++i)
+      pool.emplace_back([&]() {
+        int b;
+        while ((b = cursor.fetch_add(1)) < B) work(b);
+      });
+    for (auto& th : pool) th.join();
+  }
+  return 0;
+}
 
 // labels: C UTF-8 strings (the alphabet). Returns 0 on success.
 // out_frames (B x T) receives each character's emission frame

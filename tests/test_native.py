@@ -145,3 +145,38 @@ def test_native_lm_shifts_output(tmp_path):
                                 beam_width=8)
     assert no_lm.decode(logits[None], lengths)[0].startswith("CB")
     assert with_lm.decode(logits[None], lengths)[0].startswith("AB")
+
+
+def test_native_nbest_matches_python(tmp_path):
+    """decode_nbest (ctcdecode's full output): the C++ batch n-best
+    equals the Python host's — same texts best-first, scores to f32
+    tolerance, identical emission frames — with and without an LM."""
+    from tpuasr.decode.beam_host import BeamCTCDecoder
+
+    lm = train_ngram(["AB C AB", "AB AB", "C AB C"], order=2)
+    arpa = str(tmp_path / "lm.arpa")
+    lm.save(arpa)
+
+    rng = np.random.RandomState(9)
+    b, t, c = 3, 14, 5
+    logits = rng.randn(b, t, c).astype(np.float32) * 1.5
+    lengths = np.array([14, 10, 6], np.int32)
+
+    for kw in (dict(), dict(lm_path=arpa, alpha=1.0, beta=0.5)):
+        dec_n = NativeBeamDecoder(ABC, beam_width=6, **kw)
+        dec_h = BeamCTCDecoder(ABC, beam_width=6, **kw)
+        got_n = dec_n.decode_nbest(logits, lengths)
+        got_h = dec_h.decode_nbest(logits, lengths)
+        for i in range(b):
+            assert [r[0] for r in got_n[i]] == [r[0] for r in got_h[i]], (
+                i, got_n[i], got_h[i])
+            for rn, rh in zip(got_n[i], got_h[i]):
+                np.testing.assert_allclose(rn[1], rh[1], rtol=2e-5,
+                                           atol=2e-5)
+                np.testing.assert_array_equal(rn[2], rh[2])
+            # best-first ordering and top-1 == decode()
+            scores = [r[1] for r in got_n[i]]
+            assert scores == sorted(scores, reverse=True)
+        top1 = dec_n.decode(logits, lengths)
+        for i in range(b):
+            assert got_n[i][0][0].strip() == top1[i]

@@ -35,6 +35,10 @@ def main(argv=None) -> int:
     p.add_argument("--audio-path", required=True)
     p.add_argument("--offsets", action="store_true",
                    help="print per-character frame offsets")
+    p.add_argument("--n-best", type=int, default=1,
+                   help="beam decoders: print the top-N hypotheses "
+                   "(score<TAB>text per line — ctcdecode returns every "
+                   "beam, ref:transcribe.py printed the best)")
     p.add_argument("--chunk-overlap", type=float, default=2.0,
                    help="overlap (s) between chunks for audio longer "
                    "than the bucket ladder")
@@ -146,7 +150,16 @@ def main(argv=None) -> int:
     lengths = jnp.asarray(np.array([n], np.int32))
     logits, out_lengths = eval_step(variables, waves, lengths)
 
-    if args.offsets:
+    if args.n_best > 1:
+        if not hasattr(decoder, "decode_nbest"):
+            print("--n-best requires a beam decoder", file=sys.stderr)
+            return 2
+        for text, score, frames in decoder.decode_nbest(
+                logits, out_lengths, n_best=args.n_best)[0]:
+            print(f"{score:.4f}\t{text}")
+            if args.offsets:
+                print("\t" + " ".join(map(str, frames)))
+    elif args.offsets:
         texts, offsets = decoder.decode(logits, out_lengths, return_offsets=True)
         print(texts[0])
         print(" ".join(map(str, offsets[0])))

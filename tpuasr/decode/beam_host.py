@@ -258,3 +258,25 @@ class BeamCTCDecoder:
         if return_offsets:
             return texts, offsets
         return texts
+
+    def decode_nbest(self, logits, lengths, n_best: int | None = None):
+        """Per utterance: [(text, score, offsets)] best-first — every
+        live beam (ctcdecode's full output; mirrors the native and
+        device decoders' decode_nbest)."""
+        import jax.nn
+
+        n = n_best or self.beam_width
+        logprobs = np.asarray(jax.nn.log_softmax(logits, axis=-1))
+        lengths = np.asarray(lengths)
+        results = []
+        for b in range(logprobs.shape[0]):
+            beams = beam_init()
+            for t in range(int(lengths[b])):
+                beams = beam_step(beams, logprobs[b, t], self.alphabet,
+                                  self.beam_width, self.lm, self.alpha,
+                                  self.beta, self.cutoff_top_n,
+                                  self.cutoff_prob, t=t)
+            res = beam_results(beams, self.alphabet, self.lm, self.alpha,
+                               self.beta, with_offsets=True)
+            results.append(res[:n])
+        return results

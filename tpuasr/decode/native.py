@@ -38,9 +38,9 @@ def _load_lib():
         subprocess.run(["make", "-C", _NATIVE_DIR, "-B"], check=True,
                        capture_output=True)
     lib = ctypes.CDLL(_LIB_PATH)
-    if not hasattr(lib, "tpuasr_abi_version") or lib.tpuasr_abi_version() != 2:
+    if not hasattr(lib, "tpuasr_abi_version") or lib.tpuasr_abi_version() != 3:
         raise RuntimeError(
-            f"{_LIB_PATH} predates ABI v2 (per-char emission frames) and "
+            f"{_LIB_PATH} predates ABI v3 (emission frames + n-best) and "
             "the source is unavailable to rebuild — run `make -C native -B`")
     lib.tpuasr_lm_load.restype = ctypes.c_void_p
     lib.tpuasr_lm_load.argtypes = [ctypes.c_char_p]
@@ -83,6 +83,24 @@ def _load_lib():
         ctypes.POINTER(ctypes.c_int),  # out_frames (nullable)
         ctypes.POINTER(ctypes.c_int),  # out_lens
         ctypes.POINTER(ctypes.c_float),  # out_scores
+    ]
+    lib.tpuasr_beam_decode_batch_nbest.restype = ctypes.c_int
+    lib.tpuasr_beam_decode_batch_nbest.argtypes = [
+        ctypes.POINTER(ctypes.c_float),  # logprobs
+        ctypes.POINTER(ctypes.c_int),  # lengths
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,  # B T C
+        ctypes.POINTER(ctypes.c_char_p),  # labels
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,  # blank space width
+        ctypes.c_void_p,  # lm
+        ctypes.c_float, ctypes.c_float,  # alpha beta
+        ctypes.c_int, ctypes.c_float,  # cutoff_top_n cutoff_prob
+        ctypes.c_float,  # prune_logp
+        ctypes.c_int,  # num_threads
+        ctypes.c_int,  # n_best
+        ctypes.POINTER(ctypes.c_int),  # out_ids (B, n, T)
+        ctypes.POINTER(ctypes.c_int),  # out_frames (B, n, T)
+        ctypes.POINTER(ctypes.c_int),  # out_lens (B, n)
+        ctypes.POINTER(ctypes.c_float),  # out_scores (B, n)
     ]
     _lib = lib
     return lib
@@ -306,6 +324,60 @@ class NativeBeamDecoder:
         if return_offsets:
             return texts, offsets
         return texts
+
+    def decode_nbest(self, logits, lengths, n_best: int | None = None):
+        """Per utterance: [(text, score, offsets)] best-first — the
+        full ctcdecode output surface (every beam, its score, and its
+        per-char emission frames), mirroring
+        DeviceBeamDecoder.decode_nbest."""
+        import jax.nn
+        import jax.numpy as jnp
+
+        n = n_best or self.beam_width
+        logprobs = np.ascontiguousarray(
+            np.asarray(jax.nn.log_softmax(jnp.asarray(logits), axis=-1)),
+            dtype=np.float32,
+        )
+        lengths = np.ascontiguousarray(np.asarray(lengths), dtype=np.int32)
+        b, t, c = logprobs.shape
+        out_ids = np.zeros((b, n, t), np.int32)
+        out_frames = np.zeros((b, n, t), np.int32)
+        out_lens = np.zeros((b, n), np.int32)
+        out_scores = np.zeros((b, n), np.float32)
+        lib = _load_lib()
+        rc = lib.tpuasr_beam_decode_batch_nbest(
+            logprobs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            b, t, c,
+            self._labels_arr,
+            self.alphabet.blank_id,
+            self.alphabet.space_id,
+            self.beam_width,
+            self._lm,
+            self.alpha, self.beta,
+            self.cutoff_top_n, self.cutoff_prob, self.prune_logp,
+            self.num_threads, n,
+            out_ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            out_frames.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            out_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            out_scores.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
+        if rc != 0:
+            raise RuntimeError(f"native nbest decode failed rc={rc}")
+        results = []
+        for i in range(b):
+            rows = []
+            for j in range(n):
+                ln = int(out_lens[i, j])
+                if ln == 0 and out_scores[i, j] <= -1e29:
+                    continue  # fewer live beams than n
+                rows.append((
+                    self.alphabet.decode(out_ids[i, j, :ln]),
+                    float(out_scores[i, j]),
+                    out_frames[i, j, :ln].astype(np.int64),
+                ))
+            results.append(rows)
+        return results
 
     def __del__(self):
         if getattr(self, "_lm", None):
