@@ -224,7 +224,10 @@ def test_wide_tables_reconstruct_hashed():
         mat = np.asarray(wide.rows[k], np.float32).reshape(
             -1, WIDE_PLANES, WIDE_LANES
         )
-        for r in range(mat.shape[0]):
+        r_real = max(cap // 128, 1)
+        assert mat.shape[0] >= 8  # sublane-tile padding (Mosaic concat)
+        assert not mat[r_real:].any()  # padded rows are all-zero
+        for r in range(r_real):
             for lane in range(WIDE_LANES):
                 s = (r * 128 + lane) % cap
                 got_k1 = sum(int(mat[r, i, lane]) << (8 * i)
@@ -296,6 +299,33 @@ def test_wide_bytes_gate():
     dec.MAX_KERNEL_WORD_CAP = 2
     dec.MAX_WIDE_BYTES = 16  # force the gate
     assert dec._kernel_lm_ineligible() is not None
+
+
+def test_kernel_word_lm_wide_tiny_caps(monkeypatch):
+    """Regression: a tiny word LM forced through the wide path (mixed
+    caps — e.g. a real CLI run whose TRIGRAM cap crosses
+    MAX_KERNEL_WORD_CAP while the unigram cap is 64, R=1 pre-padding)
+    must still match XLA. On-chip, un-padded single-row orders made
+    the one-hot compare emit (B, 1) lane-offset vectors whose sublane
+    concat Mosaic rejects (bench_runs/r4/14_eval_beam_wide.log);
+    build_wide_word_tables now pads every order to >= 8 rows."""
+    from tpuasr.decode.beam import build_wide_word_tables
+    from tpuasr.decode.lm import train_ngram
+
+    monkeypatch.setattr(DeviceBeamDecoder, "MAX_KERNEL_WORD_CAP", 2)
+    lm = train_ngram(["AB C AB", "C AB", "AB"] * 2, order=3)
+    rng = np.random.RandomState(41)
+    logits = jnp.asarray(rng.randn(2, 10, 5).astype(np.float32) * 2)
+    lengths = jnp.asarray(np.array([10, 6], np.int32))
+    pal = DeviceBeamDecoder(ABC, beam_width=5, word_lm=lm, alpha=0.9,
+                            beta=0.4, impl="pallas")
+    xla = DeviceBeamDecoder(ABC, beam_width=5, word_lm=lm, alpha=0.9,
+                            beta=0.4, impl="xla")
+    assert pal.decode(logits, lengths) == xla.decode(logits, lengths)
+    assert all(int(m.shape[0]) >= 8 for m in pal._word_wide.rows)
+    # the padding must not change capacity accounting
+    wt = build_wide_word_tables(pal._word_tables)
+    assert wt.caps == pal._word_wide.caps
 
 
 def test_wide_multichunk_matches_xla(monkeypatch):

@@ -185,9 +185,19 @@ def build_wide_word_tables(tables: HashedTables) -> WideTables:
                                & np.uint32(0xFF)).astype(np.float32))
         planes += _split3(lp) + _split3(bo)
         wide = np.stack([p[idx] for p in planes], axis=1)  # (R, P, 256)
-        rows.append(jnp.asarray(
-            wide.reshape(r_k, WIDE_PLANES * WIDE_LANES), jnp.bfloat16
-        ))
+        wide = wide.reshape(r_k, WIDE_PLANES * WIDE_LANES)
+        # Pad to >= 8 rows (a full sublane tile): with R == 1 the
+        # kernel's per-beam one-hot compare produces (B, 1) vectors
+        # whose lane offset still points at the sliced beam column, and
+        # Mosaic rejects the sublane concat ("result/input offset
+        # mismatch on non-concat dimension" — observed on-chip with a
+        # cap-64 unigram order). Padded rows are all-zero and sit at
+        # indices >= cap/128, which `slot >> 7` can never name, so the
+        # fetch math is unchanged.
+        r_pad = max(8, r_k)
+        if r_pad != r_k:
+            wide = np.pad(wide, ((0, r_pad - r_k), (0, 0)))
+        rows.append(jnp.asarray(wide, jnp.bfloat16))
         caps.append(cap)
     return WideTables(tuple(rows), tuple(caps), tables.order,
                       tables.n_probes)
@@ -196,7 +206,7 @@ def build_wide_word_tables(tables: HashedTables) -> WideTables:
 def wide_tables_bytes(tables: HashedTables) -> int:
     """VMEM footprint of build_wide_word_tables(tables)."""
     return sum(
-        max(int(np.asarray(k).shape[0]) // 128, 1) * WIDE_PLANES
+        max(int(np.asarray(k).shape[0]) // 128, 8) * WIDE_PLANES
         * WIDE_LANES * 2
         for k in tables.keys1
     )
@@ -696,16 +706,15 @@ class DeviceBeamDecoder:
 
     # in-kernel word-LM probing: caps up to MAX_KERNEL_WORD_CAP use the
     # full-table compare (cheapest, zero extra build); bigger tables
-    # use the block-fetch MXU path (WideTables) while every per-order
-    # total VMEM budget decides eligibility; beyond it the XLA
-    # hash-probe path decodes. Round-3 found the remote compile
-    # service reproducibly died on a monolithic 14 MiB table INPUT
-    # (262144-cap order) while 7 MiB inputs compiled fine — round 4
-    # therefore splits every order's block-fetch matrix into <=1024-row
-    # (~7 MiB) chunk refs inside beam_scan_pallas (the math is the
-    # same matmul evaluated as its row blocks), lifting the per-order
-    # cap gate; the remaining bound is total table VMEM next to the
-    # kernel's other buffers (VMEM_LIMIT = 100 MiB).
+    # use the block-fetch MXU path (WideTables), gated by total table
+    # VMEM; beyond it the XLA hash-probe path decodes. The round-3
+    # "monolithic 14 MiB table input kills the remote compiler" finding
+    # did NOT reproduce in round 4 (scripts/wide_lm_repro.py: 512..4096
+    # row single-table kernels all compile on-chip), so orders ride as
+    # one ref up to 4096 rows (ops/beam.MAX_WIDE_ROWS_PER_REF) and the
+    # binding constraint is table VMEM next to the kernel's other
+    # buffers (VMEM_LIMIT = 100 MiB); very large tables also roll the
+    # time loop to bound Mosaic stack (ops/beam.py time_unroll).
     MAX_KERNEL_WORD_CAP = 8192
     MAX_WIDE_BYTES = 64 * 1024 * 1024
 

@@ -39,6 +39,7 @@ ref:decoder.py BeamCTCDecoder).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -56,10 +57,16 @@ from tpuasr.decode.beam import (  # noqa: E402
 
 DEFAULT_TIME_CHUNK = 8
 VMEM_LIMIT = 100 * 1024 * 1024
-# Max rows per wide-table kernel input ref (~7 MiB at 14*256 bf16
-# lanes): larger monolithic table constants killed the remote compile
-# service (round-3). Tests shrink this to exercise multi-chunk probes.
-MAX_WIDE_ROWS_PER_REF = 1024
+# Max rows per wide-table kernel input ref (28 MiB at 14*256 bf16
+# lanes). Round 3 saw the remote compile service die on one 14 MiB
+# monolithic table input, but the round-4 minimal repro
+# (scripts/wide_lm_repro.py, run on-chip 2026-08-19) compiles 512..4096
+# row single-table kernels cleanly — the kill was environmental, not a
+# size rule — so 262144-cap orders (2048 rows) ride as ONE ref again
+# (chunked probes measured ~36% slower at 131072 caps). Chunking stays
+# for anything beyond 4096 rows. Tests shrink this to exercise
+# multi-chunk probes.
+MAX_WIDE_ROWS_PER_REF = 4096
 
 # Test hook: run the kernel in the Pallas interpreter (CPU).
 INTERPRET = False
@@ -76,7 +83,7 @@ def _beam_kernel(lp_ref, len_ref, *rest, time_chunk, beam_width,
                  char_lm=False, word_lm=False, word_wide=False,
                  wide_caps=(), wide_chunks=(), n_probes=8, w_order=0,
                  ring_len=0, alpha=0.0, beta=0.0, space_id=None,
-                 ctx_len=0):
+                 ctx_len=0, time_unroll=True):
     rest = list(rest)
     if char_lm:
         lmtab_ref = rest.pop(0)
@@ -89,10 +96,9 @@ def _beam_kernel(lp_ref, len_ref, *rest, time_chunk, beam_width,
         r_num = lmtab_ref.shape[0] // 2
     if word_lm and word_wide:
         # per-order (R_k, WIDE_PLANES*256) bf16 block-fetch matrix,
-        # split into wide_chunks[k] row-chunk refs: a 262144-cap order
-        # (R=2048, 14 MiB) arrives as two 1024-row refs — bounding any
-        # single VMEM constant at ~7 MiB (the remote compile service
-        # died on larger monolithic table inputs; round-3 BASELINE.md)
+        # split into wide_chunks[k] row-chunk refs of
+        # <= MAX_WIDE_ROWS_PER_REF rows each (one ref per order up to
+        # 524288-cap; the probe sums per-chunk fetches, same math)
         wtabs = [[rest.pop(0) for _ in range(wide_chunks[k])]
                  for k in range(w_order)]
     elif word_lm:
@@ -558,7 +564,7 @@ def _beam_kernel(lp_ref, len_ref, *rest, time_chunk, beam_width,
         chars_ref[i] = jnp.where(alive, sel["new"], -1)
         return 0
 
-    jax.lax.fori_loop(0, time_chunk, body, 0, unroll=True)
+    jax.lax.fori_loop(0, time_chunk, body, 0, unroll=time_unroll)
     scores_ref[:] = _lse(pb_ref[:], pnb_ref[:])
     if char_lm or word_lm:
         scores_ref[:] = scores_ref[:] + lm_ref[:]
@@ -623,10 +629,25 @@ def beam_scan_pallas(logprobs, lengths, *, beam_width, blank_id,
     w_order = w_src.order if word_lm else 0
     ring_len = max(1, w_order - 1) if word_lm else 0
 
+    # Unrolling the time loop is worth ~MXU pipelining for small
+    # bodies, but each unrolled step of a LARGE wide-LM body keeps its
+    # own probe temporaries live on the Mosaic stack: the 262144-cap
+    # trigram (42 MiB tables) blew the 100 MiB scoped-VMEM budget by
+    # 19 MiB on-chip with unroll=8. Roll the loop once the tables are
+    # big enough that stack, not latency, is the binding constraint.
+    # TPUASR_BEAM_UNROLL=0/1 overrides for A/B measurement.
+    wide_bytes = (sum(int(m.shape[0]) * int(m.shape[1]) * 2
+                      for m in word_wide_tables.rows)
+                  if word_wide else 0)
+    time_unroll = not (word_wide and wide_bytes > 24 * 1024 * 1024)
+    env_unroll = os.environ.get("TPUASR_BEAM_UNROLL")
+    if env_unroll is not None:
+        time_unroll = env_unroll not in ("0", "false", "False")
+
     # Split each order's block-fetch matrix into <=MAX_WIDE_ROWS_PER_REF
-    # row chunks: bounds any single kernel input at ~7 MiB (the remote
-    # compile service reproducibly died on one 14 MiB monolithic table
-    # input, round-3 BASELINE.md) while keeping the math identical.
+    # row chunks (see the constant's comment: monolithic refs up to
+    # 4096 rows are repro-validated on-chip; the math is the same
+    # matmul evaluated as its row blocks).
     wide_mats: list = []
     wide_chunks: tuple = ()
     if word_wide:
@@ -652,7 +673,7 @@ def beam_scan_pallas(logprobs, lengths, *, beam_width, blank_id,
         n_probes=w_src.n_probes if word_lm else 8,
         w_order=w_order,
         ring_len=ring_len, alpha=alpha, beta=beta, space_id=space_id,
-        ctx_len=ctx_len,
+        ctx_len=ctx_len, time_unroll=time_unroll,
     )
     in_specs = [
         pl.BlockSpec((time_chunk, b, c_num), lambda i: (i, 0, 0),
