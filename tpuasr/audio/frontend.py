@@ -109,6 +109,16 @@ def _dft_mats(n_fft: int) -> tuple[np.ndarray, np.ndarray]:
     return np.cos(ang).astype(np.float32), (-np.sin(ang)).astype(np.float32)
 
 
+@functools.lru_cache(maxsize=8)
+def _dft_mat_combined(n_fft: int) -> np.ndarray:
+    """cos|sin basis side by side, (n_fft, 2 * (n_fft//2+1)): one matmul
+    reads the (B, T, n_fft) frames ONCE for both DFT components (two
+    separate dots each re-stream the frames from HBM — the frontend is
+    bandwidth-, not FLOP-, bound)."""
+    cos_m, sin_m = _dft_mats(n_fft)
+    return np.concatenate([cos_m, sin_m], axis=1)
+
+
 def _frame_gather(waves, lengths, n_fft, hop, t_max):
     """General framing via reflected gather indices (exact librosa
     center=True semantics per utterance, any n_fft/hop)."""
@@ -182,22 +192,19 @@ def _spectrogram(frames: jnp.ndarray, cfg: FrontendConfig) -> jnp.ndarray:
     """(B, T, n_fft) windowed frames -> (B, T, F) magnitudes."""
     if cfg.dft == "fft":
         return jnp.abs(jnp.fft.rfft(frames, axis=-1))
-    cos_m, sin_m = _dft_mats(cfg.n_fft)
     # precision=HIGHEST: the default TPU matmul precision is bf16-ish,
     # which is far too coarse for log-magnitudes of near-zero bins; full
     # f32 accumulation here costs a negligible fraction of model FLOPs.
-    re = jnp.dot(
+    # ONE combined cos|sin dot: the two components share the LHS, and a
+    # single matmul streams the (B, T, n_fft) frames from HBM once.
+    f = cfg.n_features
+    z = jnp.dot(
         frames,
-        jnp.asarray(cos_m),
+        jnp.asarray(_dft_mat_combined(cfg.n_fft)),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
-    im = jnp.dot(
-        frames,
-        jnp.asarray(sin_m),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    re, im = z[..., :f], z[..., f:]
     return jnp.sqrt(re * re + im * im + 1e-30)
 
 
