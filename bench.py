@@ -310,7 +310,10 @@ def _bench_beam(args, model_cfg, frontend_cfg, state, cutoff_top_n: int = 40,
         # synthetic large-vocabulary LM: every word appears (full
         # unigram coverage), lines of 6 give ~vocab unique bi/trigrams
         letters = np.array(list("ABCDEFGHIJKLMNOPQRSTUVWXYZ"))
-        vocab = list({
+        # sorted(): set iteration order varies with PYTHONHASHSEED, so
+        # an unsorted list gave every process a DIFFERENT vocab (and,
+        # for borderline tables, different hash-table caps run to run)
+        vocab = sorted({
             "".join(rng.choice(letters, size=rng.randint(3, 8)))
             for _ in range(int(args.lm_vocab * 1.2))
         })[: args.lm_vocab]

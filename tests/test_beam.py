@@ -266,6 +266,41 @@ def test_pack_tables_never_drop():
     assert n_checked > 400  # unigrams + bigrams actually exercised
 
 
+def test_pack_table_matching_beats_greedy():
+    """Window placement is a bipartite matching, not greedy insertion
+    (round 4): a key placed mid-window can be re-arranged within its
+    OWN window to make room, instead of doubling the table. This
+    construction defeats greedy — key X (home 4) squats slot 4, then
+    8 keys with home 0 need all of [0, 8) — but a perfect matching
+    exists at the minimum capacity (16 for 9 keys at load <= 0.8)."""
+    from tpuasr.decode.beam import _pack_table
+
+    items = [(np.uint32(16 + 4), np.uint32(1), -1.0, 0.0)]  # home 4
+    items += [(np.uint32(16 * (k + 2)), np.uint32(k + 1), -2.0 - k, 0.0)
+              for k in range(8)]  # homes 0
+    k1, k2, lp, bo = _pack_table(items, n_probes=8)
+    cap = int(k1.shape[0])
+    assert cap == 16, f"matching failed to place at min cap (cap={cap})"
+    k1, k2 = np.asarray(k1), np.asarray(k2)
+    lp = np.asarray(lp)
+    for h1, h2, l, _ in items:
+        idx = (int(h1) % cap + np.arange(8)) % cap
+        hits = (k1[idx] == h1) & (k2[idx] == h2)
+        assert hits.sum() == 1, (h1, h2)
+        assert lp[idx[hits][0]] == np.float32(l)
+
+
+def test_pack_table_cap_floors_at_probe_window():
+    """cap < n_probes would wrap the probe window onto itself and the
+    lookup's masked sum would double-count the hit slot — capacity must
+    floor at n_probes even for one-entry tables."""
+    from tpuasr.decode.beam import _pack_table
+
+    k1, _, _, _ = _pack_table([(np.uint32(3), np.uint32(7), -1.0, 0.0)],
+                              n_probes=8)
+    assert int(k1.shape[0]) >= 8
+
+
 def test_device_beam_with_char_lm():
     """Char-LM fusion disambiguates same-length alternatives: 'AB' vs
     'CB' with C slightly ahead acoustically; the LM only knows A-B."""

@@ -1013,39 +1013,99 @@ def _backtrack(parents: np.ndarray, chars: np.ndarray, scores: np.ndarray):
 # ---------------------------------------------------------------------------
 
 
+def _assign_windows(homes, cap: int, n_probes: int):
+    """Place every key in SOME slot of its probe window [home, home +
+    n_probes) mod cap, or return None if impossible at this capacity.
+
+    Every lookup path (XLA ``_probe``, kernel ``_wprobe`` /
+    ``_wprobe_wide``) compares ALL n_probes window slots
+    unconditionally — there is no empty-slot early exit — so a key's
+    position WITHIN its window is semantically free. That turns
+    placement into bipartite matching (key -> any window slot), solved
+    with Kuhn's augmenting paths: greedy first-empty insertion for the
+    common case, and when a key finds its window full, a BFS
+    augmentation re-arranges earlier keys within their OWN windows
+    before giving up. Round-4 motivation: greedy-only insertion hit one
+    8-long cluster in a 2012-entry trigram and doubled the table twice
+    (load 0.12), pushing a tiny LM onto the wide block-fetch path.
+
+    Returns an int64 array: slot index per key."""
+    owner = np.full(cap, -1, np.int64)       # slot -> key index
+    assigned = np.full(len(homes), -1, np.int64)  # key index -> slot
+
+    def window(k):
+        h = homes[k]
+        return [(h + j) % cap for j in range(n_probes)]
+
+    from collections import deque
+
+    for u in range(len(homes)):
+        placed = False
+        for s in window(u):
+            if owner[s] < 0:
+                owner[s], assigned[u] = u, s
+                placed = True
+                break
+        if placed:
+            continue
+        # augment: BFS over alternating (key -> window slot -> owner)
+        slot_from: dict = {}
+        q = deque([u])
+        free = None
+        while q and free is None:
+            k = q.popleft()
+            for s in window(k):
+                if s in slot_from:
+                    continue
+                slot_from[s] = k
+                if owner[s] < 0:
+                    free = s
+                    break
+                q.append(int(owner[s]))
+        if free is None:
+            return None  # no perfect matching at this capacity
+        s = free
+        while True:
+            k = slot_from[s]
+            prev = int(assigned[k])
+            owner[s], assigned[k] = k, s
+            if k == u:
+                break
+            s = prev
+    return assigned
+
+
 def _pack_table(items, n_probes: int):
     """items: list of (h1, h2, logp_nat, bo_nat). Returns uint32 key
-    arrays + float32 value arrays. NEVER drops an entry: if an item
-    cannot be placed within ``n_probes`` probes (the device lookup
-    budget), the table doubles and packing restarts."""
+    arrays + float32 value arrays. NEVER drops an entry: capacity
+    starts at load ~0.8 and doubles whenever ``_assign_windows`` finds
+    no placement that keeps every entry within ``n_probes`` linear
+    probes of its home slot (the device lookup budget)."""
     n = max(len(items), 1)
-    cap = 1
-    while cap < n * 2:
+    cap = n_probes  # floor: a cap below n_probes would wrap the probe
+    # window onto itself and the lookup's masked SUM would double-count
+    # the hit slot (caught by test_char_lm_device_scores_match_arpa)
+    while cap * 4 < n * 5:  # cap >= 1.25 * n  (target load 0.8)
         cap *= 2
+    keys = []
+    for h1, h2, l, b in items:
+        if h1 == 0 and h2 == 0:
+            # (0,0) marks an empty slot; nudge (lookup of this key
+            # then misses — a ~2^-64 event, vs. corrupting the table)
+            h2 = np.uint32(1)
+        keys.append((np.uint32(h1), np.uint32(h2), l, b))
     while True:
-        k1 = np.zeros(cap, np.uint32)
-        k2 = np.zeros(cap, np.uint32)
-        lp = np.full(cap, NEG, np.float32)
-        bo = np.zeros(cap, np.float32)
-        ok = True
-        for h1, h2, l, b in items:
-            if h1 == 0 and h2 == 0:
-                # (0,0) marks an empty slot; nudge (lookup of this key
-                # then misses — a ~2^-64 event, vs. corrupting the table)
-                h2 = np.uint32(1)
-            slot = int(h1 % np.uint32(cap))
-            placed = False
-            for _ in range(n_probes):
-                if k1[slot] == 0 and k2[slot] == 0:
-                    k1[slot], k2[slot] = h1, h2
-                    lp[slot], bo[slot] = l, b
-                    placed = True
-                    break
-                slot = (slot + 1) % cap
-            if not placed:
-                ok = False
-                break
-        if ok:
+        homes = [int(h1 % np.uint32(cap)) for h1, _, _, _ in keys]
+        slots = _assign_windows(homes, cap, n_probes) \
+            if keys else np.zeros(0, np.int64)
+        if slots is not None:
+            k1 = np.zeros(cap, np.uint32)
+            k2 = np.zeros(cap, np.uint32)
+            lp = np.full(cap, NEG, np.float32)
+            bo = np.zeros(cap, np.float32)
+            for (h1, h2, l, b), s in zip(keys, slots):
+                k1[s], k2[s] = h1, h2
+                lp[s], bo[s] = l, b
             return (jnp.asarray(k1), jnp.asarray(k2), jnp.asarray(lp),
                     jnp.asarray(bo))
         cap *= 2

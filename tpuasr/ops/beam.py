@@ -639,7 +639,13 @@ def beam_scan_pallas(logprobs, lengths, *, beam_width, blank_id,
     wide_bytes = (sum(int(m.shape[0]) * int(m.shape[1]) * 2
                       for m in word_wide_tables.rows)
                   if word_wide else 0)
-    time_unroll = not (word_wide and wide_bytes > 24 * 1024 * 1024)
+    # Round-4 on-chip finding #2: at B=128 the unrolled wide body is
+    # also a compile-time bomb — the remote compile service died
+    # mid-compile after 46 min (bench_runs/r4/30_eval_beam_wide_fix.log)
+    # on a config whose B=32 twin compiles (slowly) and runs. Roll the
+    # loop for large batches as well as large tables.
+    time_unroll = not (word_wide
+                       and (wide_bytes > 24 * 1024 * 1024 or b >= 64))
     env_unroll = os.environ.get("TPUASR_BEAM_UNROLL")
     if env_unroll is not None:
         time_unroll = env_unroll not in ("0", "false", "False")
