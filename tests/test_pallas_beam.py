@@ -190,6 +190,27 @@ def test_kernel_word_lm_order2():
     assert pal.decode(logits, lengths) == xla.decode(logits, lengths)
 
 
+def test_kernel_word_lm_small_path_rolled_at_b64():
+    """B >= 64 rolls the time loop on the SMALL full-compare path too
+    (the unrolled B=128 small-path body never finished compiling
+    on-chip inside 1 h — bench_runs/r4/40_eval_beam_b128_smallpath.log).
+    Rolled must stay exact vs XLA at a batch past the threshold."""
+    from tpuasr.decode.lm import train_ngram
+
+    lm = train_ngram(["AB C", "C AB AB", "AB AB"] * 2, order=2)
+    rng = np.random.RandomState(40)
+    b, t, c = 64, 6, 5
+    logits = jnp.asarray(rng.randn(b, t, c).astype(np.float32) * 2)
+    lengths = jnp.asarray(rng.randint(2, t + 1, size=b).astype(np.int32))
+    pal = DeviceBeamDecoder(ABC, beam_width=4, word_lm=lm, alpha=0.8,
+                            beta=0.3, impl="pallas")
+    xla = DeviceBeamDecoder(ABC, beam_width=4, word_lm=lm, alpha=0.8,
+                            beta=0.3, impl="xla")
+    assert pal._use_pallas()
+    assert getattr(pal, "_word_wide", None) is None  # small path
+    assert pal.decode(logits, lengths) == xla.decode(logits, lengths)
+
+
 def test_explicit_pallas_with_unfusable_lm_raises():
     from tpuasr.decode.lm import train_ngram
 

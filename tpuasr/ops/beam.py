@@ -643,8 +643,12 @@ def beam_scan_pallas(logprobs, lengths, *, beam_width, blank_id,
     # also a compile-time bomb — the remote compile service died
     # mid-compile after 46 min (bench_runs/r4/30_eval_beam_wide_fix.log)
     # on a config whose B=32 twin compiles (slowly) and runs. Roll the
-    # loop for large batches as well as large tables.
-    time_unroll = not (word_wide
+    # loop for large batches as well as large tables. The SMALL
+    # full-compare path is batch-bound too: the same CLI config on the
+    # small path (caps [32,512,4096], B=128) never finished compiling
+    # inside 1 h (bench_runs/r4/40_eval_beam_b128_smallpath.log), so
+    # the B >= 64 rule applies to every word-LM body, not just wide.
+    time_unroll = not (word_lm
                        and (wide_bytes > 24 * 1024 * 1024 or b >= 64))
     env_unroll = os.environ.get("TPUASR_BEAM_UNROLL")
     if env_unroll is not None:
