@@ -254,7 +254,8 @@ def test_pack_tables_never_drop():
             h1, h2 = _np_fold_tokens(pairs)
             if h1 == 0 and h2 == 0:
                 continue
-            slot = int(h1 % np.uint32(cap))
+            from tpuasr.decode.beam import _np_home
+            slot = _np_home(h1, cap, tables.salts[k])
             found = False
             for _ in range(tables.n_probes):
                 if k1[slot] == h1 and k2[slot] == h2:
@@ -278,13 +279,37 @@ def test_pack_table_matching_beats_greedy():
     items = [(np.uint32(16 + 4), np.uint32(1), -1.0, 0.0)]  # home 4
     items += [(np.uint32(16 * (k + 2)), np.uint32(k + 1), -2.0 - k, 0.0)
               for k in range(8)]  # homes 0
-    k1, k2, lp, bo = _pack_table(items, n_probes=8)
+    k1, k2, lp, bo, salt = _pack_table(items, n_probes=8)
     cap = int(k1.shape[0])
     assert cap == 16, f"matching failed to place at min cap (cap={cap})"
+    assert salt == 0  # solvable at the historical salt-0 homes
     k1, k2 = np.asarray(k1), np.asarray(k2)
     lp = np.asarray(lp)
     for h1, h2, l, _ in items:
         idx = (int(h1) % cap + np.arange(8)) % cap
+        hits = (k1[idx] == h1) & (k2[idx] == h2)
+        assert hits.sum() == 1, (h1, h2)
+        assert lp[idx[hits][0]] == np.float32(l)
+
+
+def test_pack_table_salted_rescues_low_bit_clusters():
+    """9+ keys whose h1 share ALL low bits have the same home at EVERY
+    power-of-two capacity under the salt-0 rule (h1 % cap) — doubling
+    can never separate them (pre-salt packers looped toward absurd
+    capacities). A nonzero salt re-mixes the homes and packs at the
+    load-0.8 floor; every key must stay findable within the probe
+    window of its SALTED home (the rule _probe / _wprobe_wide apply)."""
+    from tpuasr.decode.beam import _np_home, _pack_table
+
+    items = [(np.uint32((k + 1) << 26), np.uint32(k + 1), -1.0 - k, 0.0)
+             for k in range(12)]  # homes all 0 at any cap <= 2**26
+    k1, k2, lp, bo, salt = _pack_table(items, n_probes=8)
+    cap = int(k1.shape[0])
+    assert cap == 16, f"salting failed to place at min cap (cap={cap})"
+    assert salt != 0
+    k1, k2, lp = np.asarray(k1), np.asarray(k2), np.asarray(lp)
+    for h1, h2, l, _ in items:
+        idx = (_np_home(h1, cap, salt) + np.arange(8)) % cap
         hits = (k1[idx] == h1) & (k2[idx] == h2)
         assert hits.sum() == 1, (h1, h2)
         assert lp[idx[hits][0]] == np.float32(l)
@@ -296,8 +321,8 @@ def test_pack_table_cap_floors_at_probe_window():
     floor at n_probes even for one-entry tables."""
     from tpuasr.decode.beam import _pack_table
 
-    k1, _, _, _ = _pack_table([(np.uint32(3), np.uint32(7), -1.0, 0.0)],
-                              n_probes=8)
+    k1, _, _, _, _ = _pack_table(
+        [(np.uint32(3), np.uint32(7), -1.0, 0.0)], n_probes=8)
     assert int(k1.shape[0]) >= 8
 
 

@@ -294,6 +294,46 @@ def test_kernel_word_lm_wide_matches_xla(monkeypatch):
             np.testing.assert_allclose(rp[1], rx[1], rtol=2e-4, atol=2e-4)
 
 
+def test_kernel_word_lm_wide_salted_matches_xla(monkeypatch):
+    """Salted home derivation (round 4: _pack_table re-salts before
+    doubling) must stay consistent across the PACKER, the XLA `_probe`,
+    and the kernel's `_wprobe_wide` slot math — force every table to a
+    nonzero salt and re-run the wide parity scenario on both paths
+    (a pack/probe salt mismatch turns every LM lookup into a miss,
+    which shows up as text/score divergence here)."""
+    import tpuasr.decode.beam as beam_mod
+    from tpuasr.decode.lm import train_ngram
+
+    monkeypatch.setattr(beam_mod, "_PACK_SALTS", (5,))
+    monkeypatch.setattr(DeviceBeamDecoder, "MAX_KERNEL_WORD_CAP", 2)
+    corpus = ["AB C AB", "C AB", "AB AB C", "C C AB", "AB", "CA AB C"]
+    lm = train_ngram(corpus, order=3)
+    rng = np.random.RandomState(23)
+    b, t, c = 3, 11, 5
+    logits = jnp.asarray(rng.randn(b, t, c).astype(np.float32) * 2)
+    lengths = jnp.asarray(np.array([11, 8, 4], np.int32))
+    pal = DeviceBeamDecoder(ABC, beam_width=6, word_lm=lm, alpha=1.2,
+                            beta=0.5, impl="pallas")
+    xla = DeviceBeamDecoder(ABC, beam_width=6, word_lm=lm, alpha=1.2,
+                            beta=0.5, impl="xla")
+    assert all(s == 5 for s in pal._word_tables.salts)
+    got_p = pal.decode_nbest(logits, lengths)
+    assert pal._word_wide is not None and pal._word_wide.salts
+    got_x = xla.decode_nbest(logits, lengths)
+    # the salted LM must also actually score: at least one utterance's
+    # best text must differ from a no-LM decode
+    plain = DeviceBeamDecoder(ABC, beam_width=6, impl="xla")
+    got_0 = plain.decode_nbest(logits, lengths)
+    assert any(got_x[i][0][0] != got_0[i][0][0]
+               or abs(got_x[i][0][1] - got_0[i][0][1]) > 1e-6
+               for i in range(b))
+    for i in range(b):
+        assert [r[0] for r in got_p[i]] == [r[0] for r in got_x[i]], (
+            i, got_p[i], got_x[i])
+        for rp, rx in zip(got_p[i], got_x[i]):
+            np.testing.assert_allclose(rp[1], rx[1], rtol=2e-4, atol=2e-4)
+
+
 def test_kernel_word_lm_wide_order2(monkeypatch):
     from tpuasr.decode.lm import train_ngram
 

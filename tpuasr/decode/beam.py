@@ -89,6 +89,23 @@ def _np_hash_ids(ids, mult) -> np.uint32:
     return h
 
 
+def _np_home(h1: np.uint32, cap: int, salt: int) -> int:
+    """Home slot of key h1 in a cap-slot table (cap = power of two).
+    salt 0 is the historical h1 % cap; a nonzero salt re-mixes first.
+    MUST match the traced `_home` below and the kernel's slot math
+    (ops/beam.py `_wprobe_wide`) bit for bit."""
+    if salt:
+        h1 = _np_mix32(h1, np.uint32(salt), _M1)
+    return int(np.uint32(h1) % np.uint32(cap))
+
+
+def _home(h1, cap: int, salt: int):
+    """Traced twin of `_np_home` (h1: uint32 array) -> int32 slots."""
+    if salt:
+        h1 = _mix32(h1, jnp.uint32(salt), jnp.uint32(_M1))
+    return (h1 & jnp.uint32(cap - 1)).astype(jnp.int32)
+
+
 def _lse(a, b):
     m = jnp.maximum(a, b)
     m_safe = jnp.maximum(m, NEG)
@@ -121,6 +138,11 @@ class HashedTables(NamedTuple):
     backoffs: tuple
     order: int
     n_probes: int
+    # per order: uint32 home-derivation salt from _pack_table. 0 =
+    # home is h1 % cap (the historical rule); nonzero = home is
+    # _mix32(h1, salt) & (cap-1) — tried before doubling capacity when
+    # clustered homes defeat the window matching (empty = all zero).
+    salts: tuple = ()
 
 
 WIDE_LANES = 256  # each row duplicates 2x128 consecutive (mod cap) slots
@@ -148,6 +170,7 @@ class WideTables(NamedTuple):
     caps: tuple  # per order: python int, power of two
     order: int
     n_probes: int
+    salts: tuple = ()  # per order home salts (see HashedTables.salts)
 
 
 def _split3(x: np.ndarray) -> list:
@@ -200,7 +223,7 @@ def build_wide_word_tables(tables: HashedTables) -> WideTables:
         rows.append(jnp.asarray(wide, jnp.bfloat16))
         caps.append(cap)
     return WideTables(tuple(rows), tuple(caps), tables.order,
-                      tables.n_probes)
+                      tables.n_probes, tuple(tables.salts))
 
 
 def wide_tables_bytes(tables: HashedTables) -> int:
@@ -245,7 +268,8 @@ def _probe(tables: HashedTables, k: int, h1, h2):
     value extraction is a masked sum, no first-hit select needed."""
     keys1, keys2 = tables.keys1[k], tables.keys2[k]
     cap = keys1.shape[0]
-    slot = (h1 % jnp.uint32(cap)).astype(jnp.int32)
+    salt = tables.salts[k] if tables.salts else 0
+    slot = _home(h1, cap, salt)
     probes = jnp.arange(tables.n_probes, dtype=jnp.int32)
     idx = (slot[..., None] + probes) % cap  # (..., P)
     hit = (keys1[idx] == h1[..., None]) & (keys2[idx] == h2[..., None])
@@ -1075,12 +1099,24 @@ def _assign_windows(homes, cap: int, n_probes: int):
     return assigned
 
 
+# Home-salt schedule per capacity: salt 0 (historical h1 % cap) first,
+# then re-mixed homes. A failed matching is usually ONE dense home
+# cluster (an interval-Hall violation — with 8-slot windows and 10^5+
+# keys, a single 9-dense run forces it even for uniform hashes, and
+# token hashes are not uniform); re-salting re-rolls the layout for
+# free, where doubling pays 2x VMEM on every probe forever. Salting
+# also removes a liveness hole: >= 8 keys whose h1 share all low bits
+# (h1 % cap equal at EVERY pow2 cap) used to double capacity forever.
+_PACK_SALTS = (0, 1, 2, 3, 5, 9)
+
+
 def _pack_table(items, n_probes: int):
     """items: list of (h1, h2, logp_nat, bo_nat). Returns uint32 key
-    arrays + float32 value arrays. NEVER drops an entry: capacity
-    starts at load ~0.8 and doubles whenever ``_assign_windows`` finds
+    arrays + float32 value arrays + the home salt used. NEVER drops an
+    entry: capacity starts at load ~0.8; when ``_assign_windows`` finds
     no placement that keeps every entry within ``n_probes`` linear
-    probes of its home slot (the device lookup budget)."""
+    probes of its home slot (the device lookup budget), the homes are
+    re-salted through ``_PACK_SALTS`` before capacity doubles."""
     n = max(len(items), 1)
     cap = n_probes  # floor: a cap below n_probes would wrap the probe
     # window onto itself and the lookup's masked SUM would double-count
@@ -1095,19 +1131,20 @@ def _pack_table(items, n_probes: int):
             h2 = np.uint32(1)
         keys.append((np.uint32(h1), np.uint32(h2), l, b))
     while True:
-        homes = [int(h1 % np.uint32(cap)) for h1, _, _, _ in keys]
-        slots = _assign_windows(homes, cap, n_probes) \
-            if keys else np.zeros(0, np.int64)
-        if slots is not None:
-            k1 = np.zeros(cap, np.uint32)
-            k2 = np.zeros(cap, np.uint32)
-            lp = np.full(cap, NEG, np.float32)
-            bo = np.zeros(cap, np.float32)
-            for (h1, h2, l, b), s in zip(keys, slots):
-                k1[s], k2[s] = h1, h2
-                lp[s], bo[s] = l, b
-            return (jnp.asarray(k1), jnp.asarray(k2), jnp.asarray(lp),
-                    jnp.asarray(bo))
+        for salt in _PACK_SALTS:
+            homes = [_np_home(h1, cap, salt) for h1, _, _, _ in keys]
+            slots = _assign_windows(homes, cap, n_probes) \
+                if keys else np.zeros(0, np.int64)
+            if slots is not None:
+                k1 = np.zeros(cap, np.uint32)
+                k2 = np.zeros(cap, np.uint32)
+                lp = np.full(cap, NEG, np.float32)
+                bo = np.zeros(cap, np.float32)
+                for (h1, h2, l, b), s in zip(keys, slots):
+                    k1[s], k2[s] = h1, h2
+                    lp[s], bo[s] = l, b
+                return (jnp.asarray(k1), jnp.asarray(k2),
+                        jnp.asarray(lp), jnp.asarray(bo), salt)
         cap *= 2
 
 
@@ -1137,7 +1174,7 @@ def pack_lm_tables(char_lm, alphabet: Alphabet) -> HashedTables:
                 out.append(enc[0])
         return out
 
-    keys1, keys2, logps, backoffs = [], [], [], []
+    keys1, keys2, logps, backoffs, salts = [], [], [], [], []
     for table in char_lm.ngrams:
         items = []
         for toks, (logp, b) in table.items():
@@ -1147,13 +1184,15 @@ def pack_lm_tables(char_lm, alphabet: Alphabet) -> HashedTables:
             h1 = _np_hash_ids(ids, _M1)
             h2 = _np_hash_ids(ids, _M2)
             items.append((h1, h2, logp * ln10, b * ln10))
-        k1, k2, lp, bo = _pack_table(items, n_probes)
+        k1, k2, lp, bo, salt = _pack_table(items, n_probes)
         keys1.append(k1)
         keys2.append(k2)
         logps.append(lp)
         backoffs.append(bo)
+        salts.append(salt)
     return HashedTables(tuple(keys1), tuple(keys2), tuple(logps),
-                        tuple(backoffs), char_lm.order, n_probes)
+                        tuple(backoffs), char_lm.order, n_probes,
+                        tuple(salts))
 
 
 def word_token_hash(word: str, alphabet: Alphabet):
@@ -1195,7 +1234,7 @@ def pack_word_lm_tables(word_lm, alphabet: Alphabet) -> HashedTables:
             cache[wordstr] = word_token_hash(wordstr, alphabet)
         return cache[wordstr]
 
-    keys1, keys2, logps, backoffs = [], [], [], []
+    keys1, keys2, logps, backoffs, salts = [], [], [], [], []
     for table in word_lm.ngrams:
         items = []
         for toks, (logp, b) in table.items():
@@ -1204,10 +1243,12 @@ def pack_word_lm_tables(word_lm, alphabet: Alphabet) -> HashedTables:
                 continue
             h1, h2 = _np_fold_tokens(pairs)
             items.append((h1, h2, logp * ln10, b * ln10))
-        k1, k2, lp, bo = _pack_table(items, n_probes)
+        k1, k2, lp, bo, salt = _pack_table(items, n_probes)
         keys1.append(k1)
         keys2.append(k2)
         logps.append(lp)
         backoffs.append(bo)
+        salts.append(salt)
     return HashedTables(tuple(keys1), tuple(keys2), tuple(logps),
-                        tuple(backoffs), word_lm.order, n_probes)
+                        tuple(backoffs), word_lm.order, n_probes,
+                        tuple(salts))

@@ -81,7 +81,8 @@ CTX_SHIFT = 6
 def _beam_kernel(lp_ref, len_ref, *rest, time_chunk, beam_width,
                  blank_id, cutoff_top_n, cutoff_prob, prune_logp,
                  char_lm=False, word_lm=False, word_wide=False,
-                 wide_caps=(), wide_chunks=(), n_probes=8, w_order=0,
+                 wide_caps=(), wide_chunks=(), wide_salts=(),
+                 n_probes=8, w_order=0,
                  ring_len=0, alpha=0.0, beta=0.0, space_id=None,
                  ctx_len=0, time_unroll=True):
     rest = list(rest)
@@ -163,8 +164,14 @@ def _beam_kernel(lp_ref, len_ref, *rest, time_chunk, beam_width,
         # decode.beam pads ragged batches).
         chunks = wtabs[k]  # list of (R_p, 14*256) bf16 row-chunks
         cap = wide_caps[k]
+        salt = wide_salts[k] if wide_salts else 0
         lanes = 256
-        slot = q1 & jnp.uint32(cap - 1)  # (B, W)
+        # home slot: MUST match decode.beam._home / _np_home (the
+        # packer's placement) bit for bit — salt 0 is h1 % cap, a
+        # nonzero salt re-mixes the query hash first (salted packing
+        # avoids capacity doubling on home clusters)
+        qh = _mix32(q1, jnp.uint32(salt), jnp.uint32(_M1)) if salt else q1
+        slot = qh & jnp.uint32(cap - 1)  # (B, W)
         as_i32 = lambda u: jax.lax.bitcast_convert_type(u, jnp.int32)  # noqa: E731
         row = as_i32(slot >> jnp.uint32(7))
         off = as_i32(slot & jnp.uint32(127))
@@ -679,6 +686,8 @@ def beam_scan_pallas(logprobs, lengths, *, beam_width, blank_id,
         cutoff_prob=cutoff_prob, prune_logp=prune_logp,
         char_lm=char_lm, word_lm=word_lm, word_wide=word_wide,
         wide_caps=tuple(word_wide_tables.caps) if word_wide else (),
+        wide_salts=(tuple(word_wide_tables.salts)
+                    if word_wide else ()),
         wide_chunks=wide_chunks,
         n_probes=w_src.n_probes if word_lm else 8,
         w_order=w_order,
