@@ -76,6 +76,14 @@ def build_parser() -> argparse.ArgumentParser:
                    "many vocabulary words (0 = the tiny 8-word LM); "
                    ">= ~3000 routes the kernel onto the block-fetch "
                    "large-vocabulary path")
+    p.add_argument("--lm-path", default=None,
+                   help="beamlm mode: load this ARPA/.binary word LM "
+                   "instead of synthesizing one (production-scale warm "
+                   "throughput, e.g. bench_runs/wide3.arpa)")
+    p.add_argument("--lm-order", type=int, default=3,
+                   help="beamlm mode with --lm-vocab: n-gram order of "
+                   "the synthesized LM (order > 3 exercises the XLA "
+                   "fallback — the fused kernel fuses orders <= 3)")
     p.add_argument("--peak-tflops", type=float, default=None,
                    help="override the per-chip peak bf16 TFLOP/s used "
                    "for the MFU estimate")
@@ -306,7 +314,12 @@ def _bench_beam(args, model_cfg, frontend_cfg, state, cutoff_top_n: int = 40,
     word_lm = char_lm = None
     words = ["ALO", "MUNDO", "BOM", "DIA", "TUDO", "BEM", "CASA", "SOM"]
     n_entries = None
-    if lm_mode == "word" and args.lm_vocab:
+    if lm_mode == "word" and args.lm_path:
+        from tpuasr.decode.lm import load_lm
+
+        word_lm = load_lm(args.lm_path)
+        n_entries = sum(len(t) for t in word_lm.ngrams)
+    elif lm_mode == "word" and args.lm_vocab:
         # synthetic large-vocabulary LM: every word appears (full
         # unigram coverage), lines of 6 give ~vocab unique bi/trigrams
         letters = np.array(list("ABCDEFGHIJKLMNOPQRSTUVWXYZ"))
@@ -323,7 +336,7 @@ def _bench_beam(args, model_cfg, frontend_cfg, state, cutoff_top_n: int = 40,
             " ".join(vocab[i] for i in order[s : s + 6])
             for s in range(0, len(order), 6)
         ]
-        word_lm = train_ngram(lines, order=3)
+        word_lm = train_ngram(lines, order=args.lm_order)
         n_entries = sum(len(t) for t in word_lm.ngrams)
     elif lm_mode == "word":
         lines = [" ".join(rng.choice(words, size=4)) for _ in range(200)]
@@ -360,6 +373,7 @@ def _bench_beam(args, model_cfg, frontend_cfg, state, cutoff_top_n: int = 40,
             "cutoff_top_n": cutoff_top_n,
             "lm": lm_mode,
             "lm_vocab": args.lm_vocab or None,
+            "lm_path": args.lm_path,
             "lm_entries": n_entries,
             "impl": "pallas" if dec.kernel_eligible() else "xla",
         },

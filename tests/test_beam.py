@@ -315,6 +315,44 @@ def test_pack_table_salted_rescues_low_bit_clusters():
         assert lp[idx[hits][0]] == np.float32(l)
 
 
+def test_salted_home_sites_bit_identical_and_avalanche():
+    """The packer's NumPy home (`_np_home`), the XLA probe's traced
+    home (`_home`), and the Pallas kernel's query remix (ops.beam
+    imports `_fmix32` from decode.beam) must agree bit for bit, and
+    the salted remix must avalanche HIGH key bits into LOW home bits
+    (the round-4 one-round remix couldn't — red test at r4 HEAD)."""
+    import jax.numpy as jnp
+
+    from tpuasr.decode.beam import _fmix32, _home, _np_fmix32, _np_home
+
+    rng = np.random.RandomState(7)
+    keys = np.concatenate([
+        rng.randint(0, 2**32, size=256, dtype=np.uint64).astype(np.uint32),
+        # high-bit-only cluster: identical low 26 bits
+        (np.arange(1, 33, dtype=np.uint32) << 26),
+        np.uint32([0, 1, 0x80000000, 0xFFFFFFFF]),
+    ])
+    for salt in (0, 1, 2, 3, 5, 9):
+        for cap in (8, 16, 1 << 12):
+            np_homes = np.array(
+                [_np_home(k, cap, salt) for k in keys], np.int32)
+            tr_homes = np.asarray(_home(jnp.asarray(keys), cap, salt))
+            np.testing.assert_array_equal(np_homes, tr_homes)
+    # traced fmix32 == numpy fmix32 (the kernel remix is fmix32(q^salt))
+    np.testing.assert_array_equal(
+        np.array([_np_fmix32(k) for k in keys], np.uint32),
+        np.asarray(_fmix32(jnp.asarray(keys))),
+    )
+    # avalanche: a 32-key cluster differing only in bits >= 26 must
+    # spread over a 16-slot table at some small salt (binomial: all-
+    # one-slot is ~16^-31 per salt if homes are uniform)
+    spreads = [
+        len({_np_home(k, 16, s) for k in (np.arange(1, 33) << 26)
+             .astype(np.uint32)}) for s in (1, 2, 3, 5, 9)
+    ]
+    assert max(spreads) >= 8, spreads
+
+
 def test_pack_table_cap_floors_at_probe_window():
     """cap < n_probes would wrap the probe window onto itself and the
     lookup's masked sum would double-count the hit slot — capacity must

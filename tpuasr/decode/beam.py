@@ -89,20 +89,48 @@ def _np_hash_ids(ids, mult) -> np.uint32:
     return h
 
 
+def _np_fmix32(h) -> np.uint32:
+    """murmur3 fmix32: full-avalanche 32-bit finalizer. Every input bit
+    flips every output bit with p~0.5 — required for salted homes,
+    where keys differing ONLY in high bits must land in different
+    low-bit home slots (a single xor-multiply-xorshift round cannot
+    diffuse bit 31 down to bit 0; that bug shipped red in round 4)."""
+    with np.errstate(over="ignore"):
+        h = np.uint32(h)
+        h = np.uint32(h ^ (h >> np.uint32(16)))
+        h = np.uint32(h * np.uint32(0x85EBCA6B))
+        h = np.uint32(h ^ (h >> np.uint32(13)))
+        h = np.uint32(h * np.uint32(0xC2B2AE35))
+        h = np.uint32(h ^ (h >> np.uint32(16)))
+    return h
+
+
+def _fmix32(h):
+    """Traced twin of `_np_fmix32` (uint32 array in/out)."""
+    h = h ^ (h >> jnp.uint32(16))
+    h = h * jnp.uint32(0x85EBCA6B)
+    h = h ^ (h >> jnp.uint32(13))
+    h = h * jnp.uint32(0xC2B2AE35)
+    h = h ^ (h >> jnp.uint32(16))
+    return h
+
+
 def _np_home(h1: np.uint32, cap: int, salt: int) -> int:
     """Home slot of key h1 in a cap-slot table (cap = power of two).
-    salt 0 is the historical h1 % cap; a nonzero salt re-mixes first.
-    MUST match the traced `_home` below and the kernel's slot math
-    (ops/beam.py `_wprobe_wide`) bit for bit."""
+    salt 0 is the historical h1 % cap; a nonzero salt re-mixes with a
+    full-avalanche finalizer so ANY differing key bit (including bits
+    >= log2(cap)) re-rolls the home. MUST match the traced `_home`
+    below and the kernel's slot math (ops/beam.py `_wprobe_wide`) bit
+    for bit."""
     if salt:
-        h1 = _np_mix32(h1, np.uint32(salt), _M1)
+        h1 = _np_fmix32(np.uint32(h1) ^ np.uint32(salt))
     return int(np.uint32(h1) % np.uint32(cap))
 
 
 def _home(h1, cap: int, salt: int):
     """Traced twin of `_np_home` (h1: uint32 array) -> int32 slots."""
     if salt:
-        h1 = _mix32(h1, jnp.uint32(salt), jnp.uint32(_M1))
+        h1 = _fmix32(h1 ^ jnp.uint32(salt))
     return (h1 & jnp.uint32(cap - 1)).astype(jnp.int32)
 
 

@@ -52,7 +52,8 @@ from jax.experimental.pallas import tpu as pltpu
 # import rather than duplicate so they cannot drift. (decode.beam
 # imports THIS module only lazily inside functions; no cycle.)
 from tpuasr.decode.beam import (  # noqa: E402
-    BOS_TOK, NEG, PAD_TOK, UNK_TOK, WORD_OOV_NAT, _M1, _M2, _lse, _mix32,
+    BOS_TOK, NEG, PAD_TOK, UNK_TOK, WORD_OOV_NAT, _M1, _M2, _fmix32,
+    _lse, _mix32,
 )
 
 DEFAULT_TIME_CHUNK = 8
@@ -168,9 +169,10 @@ def _beam_kernel(lp_ref, len_ref, *rest, time_chunk, beam_width,
         lanes = 256
         # home slot: MUST match decode.beam._home / _np_home (the
         # packer's placement) bit for bit — salt 0 is h1 % cap, a
-        # nonzero salt re-mixes the query hash first (salted packing
-        # avoids capacity doubling on home clusters)
-        qh = _mix32(q1, jnp.uint32(salt), jnp.uint32(_M1)) if salt else q1
+        # nonzero salt re-mixes the query hash through the
+        # full-avalanche fmix32 finalizer first (salted packing avoids
+        # capacity doubling on home clusters, incl. high-bit-only ones)
+        qh = _fmix32(q1 ^ jnp.uint32(salt)) if salt else q1
         slot = qh & jnp.uint32(cap - 1)  # (B, W)
         as_i32 = lambda u: jax.lax.bitcast_convert_type(u, jnp.int32)  # noqa: E731
         row = as_i32(slot >> jnp.uint32(7))
