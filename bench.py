@@ -55,7 +55,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--stream-decoder", default="greedy",
                    choices=["greedy", "beam"],
                    help="stream mode: greedy or incremental beam "
-                   "(native C++ sessions) with a small word LM")
+                   "with a small word LM")
+    p.add_argument("--stream-beam-impl", default="auto",
+                   choices=["auto", "host", "native", "device"],
+                   help="stream mode beam engine: device = the fused "
+                   "Pallas kernel carrying per-slot beam state across "
+                   "ticks (multi-stream only); native = stateful C++ "
+                   "sessions; auto = device, then native, then host")
     # Default batch = the measured per-chip throughput sweet spot on v5e
     # (BASELINE.md batch-scaling table: 463 utt/s @32, 583 @64, 876
     # @128). The reference family trained at B=20-32 per GPU
@@ -404,12 +410,15 @@ def _bench_stream(args, frontend_cfg, alphabet) -> None:
 
         kw = dict(decoder="beam", beam_width=10, alpha=0.5, beta=0.3,
                   lm=train_ngram(["ALO MUNDO BOM DIA", "TUDO BEM OLA",
-                                  "BOM DIA ALO MUNDO"], order=3))
+                                  "BOM DIA ALO MUNDO"], order=3),
+                  beam_impl=args.stream_beam_impl)
     block = args.chunk_frames * frontend_cfg.hop
     rng = np.random.RandomState(0)
     wave = (rng.randn(block * (WARMUP + ITERS + 2)) * 0.1).astype(np.float32)
     s = max(args.streams, 1)
+    engine = args.stream_decoder
     if s == 1:
+        kw.pop("beam_impl", None)  # single-stream: host/native only
         st = StreamingTranscriber(variables, model_cfg, frontend_cfg,
                                   alphabet, chunk_frames=args.chunk_frames,
                                   **kw)
@@ -418,6 +427,10 @@ def _bench_stream(args, frontend_cfg, alphabet) -> None:
         mst = MultiStreamTranscriber(variables, model_cfg, frontend_cfg,
                                      alphabet, max_streams=s,
                                      chunk_frames=args.chunk_frames, **kw)
+        if args.stream_decoder == "beam":
+            engine = ("beam-device" if mst._dev_engine is not None
+                      else "beam-native" if mst._mk_native is not None
+                      else "beam-host")
         sids = [mst.open() for _ in range(s)]
 
         def feed_tick(chunk):
@@ -452,7 +465,7 @@ def _bench_stream(args, frontend_cfg, alphabet) -> None:
             "step_ms_min": round(min(lat) * 1e3, 2),
             "chunk_frames": args.chunk_frames,
             "rnn_type": args.rnn_type,
-            "stream_decoder": args.stream_decoder,
+            "stream_decoder": engine,
             "algorithmic_latency_ms": round(
                 (delay_frames * 2 + 1) * frontend_cfg.window_stride * 1e3,
                 0),

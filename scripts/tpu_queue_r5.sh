@@ -16,6 +16,12 @@
 #   07: bench beamlm big3.arpa (trigram, ~1M entries) B=32 — XLA
 #       fallback by the 64 MiB VMEM gate; maps where in-kernel ends
 #
+# big3/big4 are gitignored (45/67 MB); regenerate with:
+#   python scripts/make_wide_lm_text.py --manifest bench_runs/corpus2048/train.csv \
+#     --out bench_runs/big_lm_text.txt --vocab-size 60000 --lines 120000 --repeat 10
+#   python -m tpuasr.cli.train_lm --text bench_runs/big_lm_text.txt \
+#     --out bench_runs/big3.arpa --order 3   (and --order 4 -> big4.arpa)
+#
 # Same conventions as scripts/tpu_queue.sh: sequential, one JAX
 # process at a time, logs to bench_runs/r5/NN_*.log + SUMMARY.tsv.
 # Usage: bash scripts/tpu_queue_r5.sh [start_N]   (default 1)

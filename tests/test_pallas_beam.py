@@ -424,3 +424,100 @@ def test_wide_multichunk_matches_xla(monkeypatch):
             i, got_p[i], got_x[i])
         for rp, rx in zip(got_p[i], got_x[i]):
             np.testing.assert_allclose(rp[1], rx[1], rtol=2e-4, atol=2e-4)
+
+
+def test_stateful_chunks_match_batch_no_lm():
+    """Streaming state carry: feeding T-frame chunks through stateful
+    beam_scan_pallas with the state threaded across calls must emit
+    bit-identical backpointers and final scores to ONE batch call over
+    the concatenation (the device-resident incremental streaming beam
+    rests on this)."""
+    from tpuasr.ops.beam import beam_scan_pallas, make_beam_state
+
+    rng = np.random.RandomState(11)
+    b, t, c, w = 3, 24, 5, 6
+    lp = jax.nn.log_softmax(
+        jnp.asarray(rng.randn(b, t, c).astype(np.float32) * 2), axis=-1)
+    kw = dict(beam_width=w, blank_id=0, cutoff_top_n=40)
+    full_len = jnp.asarray(np.array([24, 24, 24], np.int32))
+    p0, c0, s0 = beam_scan_pallas(lp, full_len, **kw)
+
+    state = make_beam_state(b, w)
+    ps, cs = [], []
+    scores = None
+    for t0 in range(0, t, 8):
+        pi, ci, scores, state = beam_scan_pallas(
+            lp[:, t0:t0 + 8], jnp.asarray(np.full((b,), 8, np.int32)),
+            state=state, return_state=True, **kw)
+        ps.append(np.asarray(pi))
+        cs.append(np.asarray(ci))
+    np.testing.assert_array_equal(np.concatenate(ps, 1), np.asarray(p0))
+    np.testing.assert_array_equal(np.concatenate(cs, 1), np.asarray(c0))
+    np.testing.assert_allclose(np.asarray(scores), np.asarray(s0),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_stateful_chunks_match_batch_word_lm():
+    """Same chunked==batch contract WITH in-kernel word-LM fusion: the
+    word state (hash stream, context ring, partial length) must carry
+    across chunks, and each chunk's emitted scores must include the
+    would-close-now word bonus (so the LAST chunk's scores equal the
+    batch kernel's closed scores)."""
+    from tpuasr.decode.beam import pack_word_lm_tables
+    from tpuasr.decode.lm import train_ngram
+    from tpuasr.ops.beam import beam_scan_pallas, make_beam_state
+
+    corpus = ["AB C AB", "C AB", "AB AB C", "C C AB", "AB", "CA AB C"]
+    lm = train_ngram(corpus, order=3)
+    wt = pack_word_lm_tables(lm, ABC)
+    rng = np.random.RandomState(13)
+    b, t, c, w = 2, 16, 5, 5
+    lp = jax.nn.log_softmax(
+        jnp.asarray(rng.randn(b, t, c).astype(np.float32) * 2), axis=-1)
+    kw = dict(beam_width=w, blank_id=0, word_tables=wt, alpha=1.2,
+              beta=0.5, space_id=ABC.space_id)
+    full_len = jnp.asarray(np.array([16, 16], np.int32))
+    p0, c0, s0 = beam_scan_pallas(lp, full_len, **kw)
+
+    ring = max(1, wt.order - 1)
+    state = make_beam_state(b, w, lm_mode="word", ring_len=ring)
+    ps, cs = [], []
+    scores = None
+    for t0 in range(0, t, 8):
+        pi, ci, scores, state = beam_scan_pallas(
+            lp[:, t0:t0 + 8], jnp.asarray(np.full((b,), 8, np.int32)),
+            state=state, return_state=True, **kw)
+        ps.append(np.asarray(pi))
+        cs.append(np.asarray(ci))
+    np.testing.assert_array_equal(np.concatenate(ps, 1), np.asarray(p0))
+    np.testing.assert_array_equal(np.concatenate(cs, 1), np.asarray(c0))
+    np.testing.assert_allclose(np.asarray(scores), np.asarray(s0),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_stateful_frozen_rows_keep_state():
+    """A slot with length 0 in a tick (no data ready) must come out of
+    the stateful call with its state AND scores untouched — the
+    multi-stream engine relies on per-slot freezing."""
+    from tpuasr.ops.beam import beam_scan_pallas, make_beam_state
+
+    rng = np.random.RandomState(17)
+    b, t, c, w = 2, 8, 5, 4
+    lp = jax.nn.log_softmax(
+        jnp.asarray(rng.randn(b, t, c).astype(np.float32)), axis=-1)
+    kw = dict(beam_width=w, blank_id=0)
+    state = make_beam_state(b, w)
+    # advance both rows once
+    _, _, _, state = beam_scan_pallas(
+        lp, jnp.asarray(np.array([8, 8], np.int32)),
+        state=state, return_state=True, **kw)
+    # row 1 frozen this tick
+    lp2 = jax.nn.log_softmax(
+        jnp.asarray(rng.randn(b, t, c).astype(np.float32)), axis=-1)
+    _, ch, sc, state2 = beam_scan_pallas(
+        lp2, jnp.asarray(np.array([8, 0], np.int32)),
+        state=state, return_state=True, **kw)
+    for f_old, f_new in zip(state, state2):
+        np.testing.assert_array_equal(np.asarray(f_old)[1],
+                                      np.asarray(f_new)[1])
+    assert np.all(np.asarray(ch)[1] == -1)  # no chars emitted

@@ -487,3 +487,64 @@ def test_stream_greedy_offsets_match_offline():
     mst.flush(sid)
     assert mst.text(sid) == texts[0]
     np.testing.assert_array_equal(mst.offsets(sid), offs[0])
+
+
+@pytest.mark.parametrize("with_lm", [False, True])
+def test_multistream_beam_device_matches_sessions(with_lm):
+    """The DEVICE-RESIDENT incremental beam (beam_impl="device":
+    per-slot beam state carried across ticks inside the fused Pallas
+    kernel — decode/device_stream.py) must finalize to the same text
+    as the single-stream host-session beam, and its committed offsets
+    must match the host multistream engine's (the VERDICT round-4
+    parity bar: text+offsets vs the session engines)."""
+    import tpuasr.ops.beam as beam_ops
+    from tpuasr.decode.lm import train_ngram
+    from tpuasr.stream import MultiStreamTranscriber
+
+    cfg, fe, model, variables = _setup("gru", 4, seed=31)
+    rng = np.random.RandomState(53)
+    waves = [(rng.randn(n) * 0.15).astype(np.float32)
+             for n in (16500, 11000)]
+    lm = train_ngram(["AB A B", "B AB", "A AB B"], order=2) if with_lm \
+        else None
+    kw = dict(decoder="beam", lm=lm, alpha=0.5, beta=0.3, beam_width=6)
+
+    singles = []
+    for w in waves:
+        st = StreamingTranscriber(variables, cfg, fe, ABC,
+                                  chunk_frames=16, **kw)
+        st.feed(w)
+        st.flush()
+        singles.append(st.text)
+
+    def run(beam_impl):
+        mst = MultiStreamTranscriber(variables, cfg, fe, ABC,
+                                     max_streams=2, chunk_frames=16,
+                                     beam_impl=beam_impl, **kw)
+        if beam_impl == "device":
+            assert mst._dev_engine is not None
+        sids = [mst.open() for _ in waves]
+        pos = [0, 0]
+        while any(pos[j] < len(waves[j]) for j in range(2)):
+            for j, step_sz in enumerate((1234, 999)):
+                if pos[j] < len(waves[j]):
+                    mst.feed(sids[j], waves[j][pos[j]:pos[j] + step_sz])
+                    pos[j] += step_sz
+            mst.tick()
+        while mst.tick():
+            pass
+        for sid in sids:
+            mst.flush(sid)
+        return ([mst.text(s) for s in sids],
+                [mst.offsets(s) for s in sids])
+
+    beam_ops.INTERPRET = True
+    try:
+        dev_texts, dev_offs = run("device")
+    finally:
+        beam_ops.INTERPRET = False
+    host_texts, host_offs = run("host")
+    assert dev_texts == singles, (dev_texts, singles)
+    assert host_texts == singles  # precondition, not the new claim
+    for j in range(2):
+        np.testing.assert_array_equal(dev_offs[j], host_offs[j])

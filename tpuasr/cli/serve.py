@@ -55,6 +55,12 @@ def main(argv=None) -> int:
                    "streaming-normalization row)")
     p.add_argument("--stream-norm-weight", type=float, default=500.0,
                    help="prior weight of --stream-norm-stats in frames")
+    p.add_argument("--stream-beam-impl", default="auto",
+                   choices=["auto", "host", "native", "device"],
+                   help="live-stream beam engine: device = fused "
+                   "Pallas kernel carrying per-session beam state "
+                   "across ticks on the TPU; native = stateful C++ "
+                   "sessions; auto = device, then native, then host")
     add_decoder_args(p)
     add_runtime_args(p)
     args = p.parse_args(argv)
@@ -96,6 +102,7 @@ def main(argv=None) -> int:
                 # sessions decode greedy unless the host beam decoder
                 # was selected; beam fuses --lm-path per session
                 decoder="beam" if args.decoder == "beam" else "greedy",
+                beam_impl=args.stream_beam_impl,
                 lm_path=args.lm_path, alpha=args.alpha, beta=args.beta,
                 beam_width=args.beam_width,
                 cutoff_top_n=args.cutoff_top_n,

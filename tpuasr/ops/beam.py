@@ -85,7 +85,7 @@ def _beam_kernel(lp_ref, len_ref, *rest, time_chunk, beam_width,
                  wide_caps=(), wide_chunks=(), wide_salts=(),
                  n_probes=8, w_order=0,
                  ring_len=0, alpha=0.0, beta=0.0, space_id=None,
-                 ctx_len=0, time_unroll=True):
+                 ctx_len=0, time_unroll=True, n_state=0):
     rest = list(rest)
     if char_lm:
         lmtab_ref = rest.pop(0)
@@ -107,9 +107,15 @@ def _beam_kernel(lp_ref, len_ref, *rest, time_chunk, beam_width,
         # per-order (1, cap) rows: keys1, keys2, logps, backoffs
         wtabs = [tuple(rest.pop(0) for _ in range(4))
                  for _ in range(w_order)]
-    (parents_ref, chars_ref, scores_ref,
-     pb_ref, pnb_ref, h1_ref, h2_ref, last_ref) = rest[:8]
-    rest = rest[8:]
+    # stateful (streaming) calls pass the carried beam state as extra
+    # inputs (after the tables) and emit the updated state as extra
+    # outputs (after scores) — ref order matches the scratch order
+    state_in = [rest.pop(0) for _ in range(n_state)]
+    (parents_ref, chars_ref, scores_ref) = rest[:3]
+    rest = rest[3:]
+    state_out = [rest.pop(0) for _ in range(n_state)]
+    (pb_ref, pnb_ref, h1_ref, h2_ref, last_ref) = rest[:5]
+    rest = rest[5:]
     if char_lm or word_lm:
         lm_ref = rest.pop(0)
     if char_lm:
@@ -270,8 +276,26 @@ def _beam_kernel(lp_ref, len_ref, *rest, time_chunk, beam_width,
         score = jnp.where(resolved, score, bo_acc + WORD_OOV_NAT)
         return score, eff1, eff2
 
+    # scratch refs in the canonical state order (the stateful in/out
+    # refs, make_beam_state, and this list MUST all agree)
+    scratch_refs = [pb_ref, pnb_ref, h1_ref, h2_ref, last_ref]
+    if char_lm or word_lm:
+        scratch_refs.append(lm_ref)
+    if char_lm:
+        scratch_refs.append(ctx_ref)
+    if word_lm:
+        scratch_refs += [wh1_ref, wh2_ref, wlen_ref]
+        scratch_refs += wc1_refs + wc2_refs
+
     @pl.when(pl.program_id(0) == 0)
     def _init():
+        if n_state:
+            # streaming: resume from the carried state of the previous
+            # chunk — chunked calls then reproduce the batch scan
+            # exactly (the time recursion has no lookahead)
+            for dst, src in zip(scratch_refs, state_in):
+                dst[:] = src[:]
+            return
         w_iota = jax.lax.broadcasted_iota(jnp.int32, (b, w), 1)
         pb_ref[:] = jnp.where(w_iota == 0, 0.0, NEG).astype(jnp.float32)
         pnb_ref[:] = jnp.full((b, w), NEG, jnp.float32)
@@ -577,6 +601,14 @@ def _beam_kernel(lp_ref, len_ref, *rest, time_chunk, beam_width,
     scores_ref[:] = _lse(pb_ref[:], pnb_ref[:])
     if char_lm or word_lm:
         scores_ref[:] = scores_ref[:] + lm_ref[:]
+    if n_state:
+        # carry the post-chunk beam state out (constant out blocks: the
+        # last grid step's write is the one that lands in HBM). scores
+        # may still get the word-close added below — that close is
+        # deliberately NOT in the carried state (it re-applies each
+        # call, "score if the stream ended now").
+        for dst, src in zip(state_out, scratch_refs):
+            dst[:] = src[:]
     if word_lm:
         # close the final partial word (ctcdecode finish_decoding) —
         # only the LAST chunk's scores survive, so don't pay the
@@ -592,12 +624,65 @@ def _beam_kernel(lp_ref, len_ref, *rest, time_chunk, beam_width,
             )
 
 
+def _state_dtypes(lm_mode: str, ring_len: int) -> list:
+    """Canonical beam-state field dtypes for ``make_beam_state`` /
+    stateful ``beam_scan_pallas`` calls. Order MUST match the kernel's
+    ``scratch_refs`` list: pb, pnb, h1, h2, last, [lm], [ctx],
+    [wh1, wh2, wlen, wc1_0.., wc2_0..]."""
+    dts = [jnp.float32, jnp.float32, jnp.uint32, jnp.uint32, jnp.int32]
+    if lm_mode in ("char", "word"):
+        dts.append(jnp.float32)  # lm
+    if lm_mode == "char":
+        dts.append(jnp.int32)  # ctx
+    if lm_mode == "word":
+        dts += [jnp.uint32, jnp.uint32, jnp.int32]  # wh1, wh2, wlen
+        dts += [jnp.uint32] * (2 * ring_len)  # wc1_k then wc2_k
+    return dts
+
+
+def make_beam_state(b: int, beam_width: int, *, lm_mode: str = "none",
+                    ring_len: int = 0) -> tuple:
+    """Fresh (stream-start) beam state for stateful ``beam_scan_pallas``
+    calls: a tuple of (B, W) arrays bit-identical to the kernel's
+    ``_init`` values, so tick 0 from this state equals the batch
+    kernel's frame 0. ``lm_mode``: "none" | "char" | "word";
+    ``ring_len`` = max(1, order - 1) for word LMs."""
+    import numpy as np
+
+    w = beam_width
+    pb = np.full((b, w), NEG, np.float32)
+    pb[:, 0] = 0.0
+    pnb = np.full((b, w), NEG, np.float32)
+    h0 = np.arange(w, dtype=np.uint32)[None, :] + np.uint32(1)
+    h0 = np.where(np.arange(w)[None, :] == 0, np.uint32(0),
+                  h0).astype(np.uint32)
+    h0 = np.broadcast_to(h0, (b, w)).copy()
+    last = np.full((b, w), -1, np.int32)
+    state = [pb, pnb, h0, h0.copy(), last]
+    if lm_mode in ("char", "word"):
+        state.append(np.zeros((b, w), np.float32))  # lm
+    if lm_mode == "char":
+        state.append(np.zeros((b, w), np.int32))  # ctx
+    if lm_mode == "word":
+        state += [np.zeros((b, w), np.uint32),  # wh1
+                  np.zeros((b, w), np.uint32),  # wh2
+                  np.zeros((b, w), np.int32)]   # wlen
+        for k in range(ring_len):  # wc1 ring, newest (BOS) last
+            tok = BOS_TOK if k == ring_len - 1 else PAD_TOK
+            state.append(np.full((b, w), tok[0], np.uint32))
+        for k in range(ring_len):  # wc2 ring
+            tok = BOS_TOK if k == ring_len - 1 else PAD_TOK
+            state.append(np.full((b, w), tok[1], np.uint32))
+    return tuple(jnp.asarray(s) for s in state)
+
+
 def beam_scan_pallas(logprobs, lengths, *, beam_width, blank_id,
                      cutoff_top_n=40, cutoff_prob=1.0,
                      prune_logp=-20.0, time_chunk=DEFAULT_TIME_CHUNK,
                      char_table=None, ctx_len=0, word_tables=None,
                      word_wide_tables=None,
-                     alpha=0.0, beta=0.0, space_id=None):
+                     alpha=0.0, beta=0.0, space_id=None,
+                     state=None, return_state=False):
     """Fused prefix beam search: no-LM, char-LM (dense table), or
     word-LM (full-table-compare probes; small tables only — the
     caller gates on capacity, see decode.beam._use_pallas).
@@ -609,11 +694,17 @@ def beam_scan_pallas(logprobs, lengths, *, beam_width, blank_id,
         (6 * ctx_len), indexed by the 6-bit-packed last-ctx_len-char
         context (decode.beam.dense_char_lm_table builds it with the
         EXACT backoff scores of the hashed XLA path).
+      state: optional carried beam state from ``make_beam_state`` or a
+        previous ``return_state=True`` call — the streaming path:
+        feeding T-frame chunks with the state threaded through yields
+        bit-identical backpointers/scores to one batch call over the
+        concatenation (the time recursion has no lookahead).
+      return_state: also return the post-scan state tuple.
     Returns:
       parents (B, T, W) int32, chars (B, T, W) int32 (-1 = stay),
       scores (B, W) float32 UNSORTED — same contract as the XLA
       decoder's scan (decode/beam.py make_beam_search), fed to the same
-      host backtracking.
+      host backtracking. With ``return_state``: (..., state) appended.
     """
     b, t, c_num = logprobs.shape
     w = beam_width
@@ -682,6 +773,18 @@ def beam_scan_pallas(logprobs, lengths, *, beam_width, blank_id,
             wide_mats.extend(parts)
         wide_chunks = tuple(len(p) for p in split)
 
+    lm_mode = "word" if word_lm else ("char" if char_lm else "none")
+    stateful = state is not None or return_state
+    if stateful and state is None:
+        state = make_beam_state(b, w, lm_mode=lm_mode, ring_len=ring_len)
+    if stateful:
+        dts = _state_dtypes(lm_mode, ring_len)
+        if len(state) != len(dts):
+            raise ValueError(
+                f"state has {len(state)} fields; this LM mode "
+                f"({lm_mode}, ring_len={ring_len}) needs {len(dts)}")
+    n_state = len(state) if stateful else 0
+
     kern = functools.partial(
         _beam_kernel, time_chunk=time_chunk, beam_width=w,
         blank_id=blank_id, cutoff_top_n=cutoff_top_n,
@@ -694,7 +797,7 @@ def beam_scan_pallas(logprobs, lengths, *, beam_width, blank_id,
         n_probes=w_src.n_probes if word_lm else 8,
         w_order=w_order,
         ring_len=ring_len, alpha=alpha, beta=beta, space_id=space_id,
-        ctx_len=ctx_len, time_unroll=time_unroll,
+        ctx_len=ctx_len, time_unroll=time_unroll, n_state=n_state,
     )
     in_specs = [
         pl.BlockSpec((time_chunk, b, c_num), lambda i: (i, 0, 0),
@@ -735,6 +838,16 @@ def beam_scan_pallas(logprobs, lengths, *, beam_width, blank_id,
                     pl.BlockSpec(row.shape, lambda i: (0, 0),
                                  memory_space=pltpu.VMEM))
                 inputs.append(row)
+    if stateful:
+        for arr, dt in zip(state, _state_dtypes(lm_mode, ring_len)):
+            arr = jnp.asarray(arr, dt)
+            if arr.shape != (b, w):
+                raise ValueError(
+                    f"state field shape {arr.shape} != ({b}, {w})")
+            in_specs.append(
+                pl.BlockSpec((b, w), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM))
+            inputs.append(arr)
     if char_lm or word_lm:
         scratch.append(pltpu.VMEM((b, w), jnp.float32))  # lm
     if char_lm:
@@ -747,27 +860,37 @@ def beam_scan_pallas(logprobs, lengths, *, beam_width, blank_id,
         ]
         scratch += [pltpu.VMEM((b, w), jnp.uint32)
                     for _ in range(2 * ring_len)]  # wc1_k then wc2_k
-    parents, chars, scores = pl.pallas_call(
+    out_specs = [
+        pl.BlockSpec((time_chunk, b, w), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((time_chunk, b, w), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((b, w), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((t_pad, b, w), jnp.int32),
+        jax.ShapeDtypeStruct((t_pad, b, w), jnp.int32),
+        jax.ShapeDtypeStruct((b, w), jnp.float32),
+    ]
+    if stateful:
+        for dt in _state_dtypes(lm_mode, ring_len):
+            out_specs.append(
+                pl.BlockSpec((b, w), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM))
+            out_shape.append(jax.ShapeDtypeStruct((b, w), dt))
+    outs = pl.pallas_call(
         kern,
         grid=(n_chunks,),
         in_specs=in_specs,
-        out_specs=(
-            pl.BlockSpec((time_chunk, b, w), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((time_chunk, b, w), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, w), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((t_pad, b, w), jnp.int32),
-            jax.ShapeDtypeStruct((t_pad, b, w), jnp.int32),
-            jax.ShapeDtypeStruct((b, w), jnp.float32),
-        ),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         interpret=INTERPRET,
     )(*inputs)
+    parents, chars, scores = outs[:3]
+    state_out = tuple(outs[3:])
 
     parents = jnp.transpose(parents[:t], (1, 0, 2))
     chars = jnp.transpose(chars[:t], (1, 0, 2))
@@ -777,4 +900,6 @@ def beam_scan_pallas(logprobs, lengths, *, beam_width, blank_id,
         # tunneled hosts — 4x fewer bytes than int32
         parents = parents.astype(jnp.int8)
         chars = chars.astype(jnp.int8)
+    if return_state:
+        return parents, chars, scores, state_out
     return parents, chars, scores

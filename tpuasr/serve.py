@@ -259,9 +259,12 @@ class StreamServeConfig:
     idle_sleep_ms: float = 5.0
     # a session silent for this long is force-closed (slot leak guard)
     session_timeout_s: float = 300.0
-    # decode: "greedy" or "beam" (incremental host prefix-beam per
-    # session, optional word-LM shallow fusion via lm_path)
+    # decode: "greedy" or "beam" (incremental prefix-beam per session,
+    # optional word-LM shallow fusion via lm_path)
     decoder: str = "greedy"
+    # beam engine: "auto" = device-resident kernel, then native C++
+    # sessions, then host Python (stream.MultiStreamTranscriber)
+    beam_impl: str = "auto"
     lm_path: str | None = None
     alpha: float = 0.8
     beta: float = 1.0
@@ -328,6 +331,7 @@ class StreamSessionService:
             beta=self.cfg.beta, beam_width=self.cfg.beam_width,
             cutoff_top_n=self.cfg.cutoff_top_n,
             cutoff_prob=self.cfg.cutoff_prob,
+            beam_impl=self.cfg.beam_impl,
             prime_stats=self.cfg.prime_stats)
         self._lock = threading.Lock()
         self._sessions: dict[int, int] = {}  # public sid -> slot

@@ -791,14 +791,19 @@ class MultiStreamTranscriber:
 
         ``beam_impl``: "native" = the stateful C++ session
         (decode/native.py NativeBeamSession — same algorithm at C++
-        speed, the serving default when the lib builds), "host" = the
-        Python beam_step oracle, "auto" = native with host fallback."""
+        speed), "host" = the Python beam_step oracle, "device" = the
+        batched DEVICE-RESIDENT incremental beam (the fused Pallas
+        kernel carrying per-slot beam state across ticks exactly like
+        the RNN carries — decode/device_stream.py; needs a
+        kernel-eligible LM, i.e. none or a small word LM), "auto" =
+        device, then native, then host — first whose preconditions
+        hold."""
         if model_cfg.bidirectional:
             raise ValueError("streaming needs a unidirectional model")
         if decoder not in ("greedy", "beam"):
             raise ValueError(f"decoder must be greedy|beam, got {decoder!r}")
-        if beam_impl not in ("auto", "host", "native"):
-            raise ValueError(f"beam_impl must be auto|host|native, "
+        if beam_impl not in ("auto", "host", "native", "device"):
+            raise ValueError(f"beam_impl must be auto|host|native|device, "
                              f"got {beam_impl!r}")
         self.cfg = model_cfg
         self.fe = frontend_cfg
@@ -812,11 +817,34 @@ class MultiStreamTranscriber:
                              beta=beta, cutoff_top_n=cutoff_top_n,
                              cutoff_prob=cutoff_prob,
                              prune_logp=prune_logp)
-        self._mk_native = _native_session_factory(
-            decoder, beam_impl, alphabet, self._beam_kw)
         self._step, self._delta, self._d1, self._d2 = _build_step(
             model_cfg, frontend_cfg, chunk_frames
         )
+        self._dev_engine = None
+        if decoder == "beam" and beam_impl in ("auto", "device"):
+            # device-resident incremental beam: per-slot beam state
+            # carried across ticks ON DEVICE (no per-stream host
+            # session cost). "auto" probes and falls back to the
+            # native/host sessions (e.g. on CPU, or an LM too big to
+            # fuse in-kernel); an explicit "device" fails loudly.
+            try:
+                from tpuasr.decode.beam import DeviceBeamDecoder
+                from tpuasr.decode.device_stream import DeviceBeamStreams
+
+                dec = DeviceBeamDecoder(
+                    alphabet, beam_width=beam_width, word_lm=lm,
+                    alpha=alpha, beta=beta, cutoff_top_n=cutoff_top_n,
+                    cutoff_prob=cutoff_prob, prune_logp=prune_logp,
+                    impl="pallas" if beam_impl == "device" else "auto")
+                self._dev_engine = DeviceBeamStreams(
+                    dec, max_streams, alphabet.size, self._delta)
+            except Exception:
+                if beam_impl == "device":
+                    raise
+        self._mk_native = None if self._dev_engine else \
+            _native_session_factory(
+                decoder, "auto" if beam_impl == "device" else beam_impl,
+                alphabet, self._beam_kw)
         self._lahead = max(model_cfg.lookahead_context - 1, 0)
         init0 = _init_carry(model_cfg, frontend_cfg, max_streams,
                             prime_stats)
@@ -846,7 +874,9 @@ class MultiStreamTranscriber:
                 slot = _StreamSlot()
                 slot.last_id = self.blank_id
                 if self.decoder == "beam":
-                    if self._mk_native is not None:
+                    if self._dev_engine is not None:
+                        self._dev_engine.reset_slot(i)
+                    elif self._mk_native is not None:
                         slot.native = self._mk_native()
                     else:
                         from tpuasr.decode.beam_host import beam_init
@@ -922,6 +952,39 @@ class MultiStreamTranscriber:
             jnp.asarray(k), jnp.asarray(t_f), jnp.asarray(t1),
             jnp.asarray(active),
         )
+        dev = self._dev_engine if self.decoder == "beam" else None
+        if dev is not None:
+            # ONE batched device call advances every ready slot's beam
+            # (logits stay on device — no host round-trip of the rows)
+            lo_v = np.zeros((S,), np.int32)
+            len_v = np.zeros((S,), np.int32)
+            bounds = {}
+            for i in ready:
+                s = self._slots[i]
+                base_w = s.k * self._delta - self._d1 - self._d2 \
+                    - self._lahead
+                cap = s.t1 if s.draining else self._SENTINEL
+                lo = max(0, -base_w)
+                hi = min(self._delta, cap - base_w)
+                lo_v[i], len_v[i] = lo, max(hi - lo, 0)
+                bounds[i] = (base_w, hi)
+            dev.advance(logits, lo_v, len_v)
+            for i in ready:
+                s = self._slots[i]
+                s.pending = s.pending[s_chunk:]
+                s.lead = windows[i, -hop:].copy()
+                s.k += 1
+                base_w, hi = bounds[i]
+                if hi > max(0, -base_w):
+                    ids, frames = dev.take_committed(i)
+                    if ids:
+                        frag = self.alphabet.decode(ids)
+                        s.committed = s.committed + tuple(ids)
+                        s.offsets.extend(int(f) for f in frames)
+                        s.parts.append(frag)
+                        s.fresh.append(frag)
+                    s.emitted = base_w + hi
+            return True
         rows_all = np.asarray(logits)
         for i in ready:
             s = self._slots[i]
@@ -1028,7 +1091,13 @@ class MultiStreamTranscriber:
         authoritative)."""
         if self.decoder == "beam":
             committed_text = "".join(s.parts)
-            if s.native is not None:
+            if self._dev_engine is not None:
+                sid = self._slots.index(s)
+                ids, frames, _ = self._dev_engine.finalize(sid)
+                final = self.alphabet.decode([int(x) for x in ids])
+                extra = (final[len(committed_text):]
+                         if final.startswith(committed_text) else final)
+            elif s.native is not None:
                 ids, frames, _ = s.native.best_with_frames()
                 final = self.alphabet.decode([int(x) for x in ids])
                 extra = (final[len(committed_text):]
