@@ -125,22 +125,33 @@ def main(argv=None) -> int:
                 emit_result(hyp, ref)
 
     if resident_epoch is not None:
-        for rep in range(max(args.timing_repeats, 1)):
-            meter = ErrorRateMeter()
-            t_eval0 = _time.time()
-            resident_epoch()
-        if out_f:
-            out_f.close()
-        print(
-            f"Test Summary \t"
-            f"Average WER {meter.wer:.3f}\t"
-            f"Average CER {meter.cer:.3f}"
-        )
-        if args.timing:
-            dt = _time.time() - t_eval0
-            print(f"Timing \t{meter.n_utts} utts in {dt:.2f}s "
-                  f"= {meter.n_utts / max(dt, 1e-9):.1f} utt/s")
-        return 0
+        from tpuasr.decode.compile_guard import BeamCompileTimeout
+
+        try:
+            for rep in range(max(args.timing_repeats, 1)):
+                meter = ErrorRateMeter()
+                t_eval0 = _time.time()
+                resident_epoch()
+        except BeamCompileTimeout as e:
+            # a pathological fused-kernel compile must not wedge the
+            # eval: the config is now blocklisted (decode/compile_guard)
+            # and the per-batch loop below decodes it via the XLA path
+            print(f"tpuasr: WARNING: {e}\n"
+                  f"tpuasr: continuing with the per-batch XLA eval loop",
+                  file=sys.stderr, flush=True)
+        else:
+            if out_f:
+                out_f.close()
+            print(
+                f"Test Summary \t"
+                f"Average WER {meter.wer:.3f}\t"
+                f"Average CER {meter.cer:.3f}"
+            )
+            if args.timing:
+                dt = _time.time() - t_eval0
+                print(f"Timing \t{meter.n_utts} utts in {dt:.2f}s "
+                      f"= {meter.n_utts / max(dt, 1e-9):.1f} utt/s")
+            return 0
 
     for rep in range(max(args.timing_repeats, 1)):
         meter = ErrorRateMeter()

@@ -754,6 +754,7 @@ class DeviceBeamDecoder:
             prune_logp=prune_logp,
         )
         self._cache = {}
+        self._warm: set = set()  # (t, c, b) keys past first dispatch
         self._dense_char_table: dict = {}  # n_class -> (table, k_ctx)
 
     # in-kernel word-LM probing: caps up to MAX_KERNEL_WORD_CAP use the
@@ -862,6 +863,47 @@ class DeviceBeamDecoder:
             )
         return {}
 
+    def kernel_sig(self, n_class: int, b: int) -> str:
+        """Compile-bomb family signature for the compile watchdog
+        (decode/compile_guard.py): the Mosaic body's size/risk is set
+        by beam width, class count, batch, and the fused LM tables —
+        NOT by total T (the time loop is chunked/rolled), so T is
+        deliberately excluded and resident-eval and batch decodes of
+        the same config share one blocklist entry."""
+        if self._word_tables is not None:
+            caps = tuple(int(k.shape[0]) for k in self._word_tables.keys1)
+            lm = f"word:caps={caps}"
+        elif self._lm_tables is not None:
+            lm = f"char:order={self._lm_tables.order}"
+        else:
+            lm = "none"
+        return (f"W={self.cfg.beam_width}|C={n_class}|B={b}|lm={lm}|"
+                f"ctn={self.cfg.cutoff_top_n}")
+
+    def _build_kernel(self, n_class: int):
+        """The jitted fused-kernel callable (packed outputs when the
+        (W, C) fit int8 packing)."""
+        from functools import partial
+
+        from tpuasr.ops.beam import beam_scan_pallas
+
+        lm_kw = self._kernel_lm_kwargs(n_class)
+        kernel = partial(
+            beam_scan_pallas,
+            beam_width=self.cfg.beam_width,
+            blank_id=self.cfg.blank_id,
+            cutoff_top_n=self.cfg.cutoff_top_n,
+            cutoff_prob=self.cfg.cutoff_prob,
+            prune_logp=self.cfg.prune_logp,
+            **lm_kw,
+        )
+        if _packable(self.cfg.beam_width, n_class):
+            def packed(lp, lens, _k=kernel):
+                return pack_decode_outputs(*_k(lp, lens))
+
+            return jax.jit(packed)
+        return jax.jit(kernel)
+
     def _run(self, logits, lengths, track_offsets: bool = True):
         logits = jnp.asarray(logits)
         logprobs = jax.nn.log_softmax(logits, axis=-1)
@@ -887,36 +929,43 @@ class DeviceBeamDecoder:
             lengths = jnp.concatenate(
                 [jnp.asarray(lengths, jnp.int32),
                  jnp.ones((pad_b,), jnp.int32)], axis=0)
-        key = (t_cap, n_class)
+        b_pad = logprobs.shape[0]
+        key = (t_cap, n_class, b_pad)
+        sig = self.kernel_sig(n_class, b_pad)
         if key not in self._cache:
-            if self._use_pallas():
-                from functools import partial
+            from tpuasr.decode import compile_guard
 
-                from tpuasr.ops.beam import beam_scan_pallas
-
-                lm_kw = self._kernel_lm_kwargs(n_class)
-                kernel = partial(
-                    beam_scan_pallas,
-                    beam_width=self.cfg.beam_width,
-                    blank_id=self.cfg.blank_id,
-                    cutoff_top_n=self.cfg.cutoff_top_n,
-                    cutoff_prob=self.cfg.cutoff_prob,
-                    prune_logp=self.cfg.prune_logp,
-                    **lm_kw,
-                )
-                if _packable(self.cfg.beam_width, n_class):
-                    def packed(lp, lens, _k=kernel):
-                        return pack_decode_outputs(*_k(lp, lens))
-
-                    self._cache[key] = jax.jit(packed)
-                else:
-                    self._cache[key] = jax.jit(kernel)
+            if self._use_pallas() and not compile_guard.blocklisted(sig):
+                self._cache[key] = (self._build_kernel(n_class), True)
             else:
-                self._cache[key] = make_beam_search(
+                self._cache[key] = (make_beam_search(
                     self.cfg, t_cap, n_class, self._lm_tables,
                     self._word_tables
-                )
-        out = self._cache[key](logprobs, jnp.asarray(lengths))
+                ), False)
+        fn, is_pallas = self._cache[key]
+        if is_pallas and key not in self._warm:
+            # first dispatch compiles — run it under the watchdog so a
+            # pathological Mosaic compile (two hit in round 4) cannot
+            # wedge the CLI; on expiry the config is blocklisted and
+            # this decode (and all future ones) takes the XLA path
+            from tpuasr.decode import compile_guard
+
+            try:
+                out = compile_guard.run_guarded(
+                    lambda: jax.block_until_ready(
+                        fn(logprobs, jnp.asarray(lengths))), sig)
+            except compile_guard.BeamCompileTimeout as e:
+                import sys
+
+                print(f"tpuasr: WARNING: {e}", file=sys.stderr,
+                      flush=True)
+                fn = make_beam_search(self.cfg, t_cap, n_class,
+                                      self._lm_tables, self._word_tables)
+                self._cache[key] = (fn, False)
+                out = fn(logprobs, jnp.asarray(lengths))
+        else:
+            out = fn(logprobs, jnp.asarray(lengths))
+        self._warm.add(key)
         if isinstance(out, tuple):
             parents, chars, scores = (np.asarray(x) for x in out)
         else:

@@ -79,6 +79,8 @@ class ResidentEvaluator:
                 **decoder.kernel_lm_kwargs(model_cfg.n_classes),
             )
             self._beam_width = cfg.beam_width
+            self._n_classes = model_cfg.n_classes
+            self._warm: set = set()  # bucket shapes past first dispatch
             self._mode = "beam"
         else:
             raise TypeError(
@@ -103,15 +105,33 @@ class ResidentEvaluator:
                         hyp = self._alphabet.decode(ids[k, j, frames]).strip()
                         yield row_to_entry[int(idx_mat[k, j])], hyp
             else:
+                from tpuasr.decode import compile_guard
                 from tpuasr.decode.beam import (
                     _backtrack,
                     unpack_decode_outputs,
                 )
 
-                packed = np.asarray(self._runner(
-                    variables, bank.waves, bank.wave_lengths,
-                    jnp.asarray(idx_mat),
-                ))
+                # first dispatch per bucket shape compiles the fused
+                # eval-in-a-scan; the watchdog turns a pathological
+                # Mosaic compile into BeamCompileTimeout (the caller —
+                # cli.test — falls back to the per-batch loop, where
+                # the now-blocklisted config decodes via XLA)
+                sig = self.decoder.kernel_sig(self._n_classes,
+                                              idx_mat.shape[-1])
+                shape_key = (idx_mat.shape, bank.waves.shape)
+                if shape_key in self._warm:
+                    packed = self._runner(
+                        variables, bank.waves, bank.wave_lengths,
+                        jnp.asarray(idx_mat))
+                else:
+                    import jax
+
+                    packed = compile_guard.run_guarded(
+                        lambda: jax.block_until_ready(self._runner(
+                            variables, bank.waves, bank.wave_lengths,
+                            jnp.asarray(idx_mat))), sig)
+                    self._warm.add(shape_key)
+                packed = np.asarray(packed)
                 w = self._beam_width
                 t_cap = (packed.shape[-1] - 2 * w) // w
                 for k in range(idx_mat.shape[0]):
