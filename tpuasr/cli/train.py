@@ -138,8 +138,8 @@ def main(argv=None) -> int:
     # per-step collectives; train/mesh.py direction-TP). Anything else
     # (tp>2, unidirectional, rnn types without a kernel) downgrades to
     # the GSPMD scan math, which gate-shards but all-gathers hidden
-    # state per step. The Pallas CTC loss is not partitionable either
-    # way — it always downgrades under TP.
+    # state per step. The Pallas CTC loss is batch-parallel and keeps
+    # its kernel under ANY tp (shard_map over data; ctc/loss.py).
     direction_tp_ok = (
         args.mesh_tp == 2 and model_cfg.bidirectional
         and ((model_cfg.rnn_impl == "pallas"
@@ -154,10 +154,9 @@ def main(argv=None) -> int:
         print("mesh-tp: rnn impl -> scan (direction-TP needs tp=2 + a "
               "bidirectional gru/lstm kernel config; gate-axis TP runs "
               "the XLA scan math)", flush=True)
-    if args.mesh_tp > 1 and args.ctc_impl != "scan":
-        args.ctc_impl = "scan"
-        print("mesh-tp > 1: ctc impl -> scan (the Pallas CTC kernel is "
-              "not GSPMD-partitionable)", flush=True)
+    # (round 5: the Pallas CTC kernel no longer downgrades under TP —
+    # it is batch-parallel and runs per-data-shard via shard_map when
+    # the ambient mesh is set, ctc/loss.py _ambient_batch_mesh)
     train_cfg = TrainConfig(
         lr=args.lr, momentum=args.momentum, max_norm=args.max_norm,
         learning_anneal=args.learning_anneal, ctc_impl=args.ctc_impl,

@@ -237,11 +237,17 @@ def train(
 
     def mesh_ctx():
         """Ambient-mesh context for device dispatches: BiRecurrentCore's
-        shard_map needs jax.sharding.set_mesh(mesh) to resolve the
-        'model' axis (no-op for scan impls / no mesh)."""
+        direction-TP shard_map resolves the 'model' axis from it, and
+        ctc_loss_pallas shard_maps over 'data' when it's set — which is
+        how the Pallas CTC kernel survives TP (batch-parallel, no
+        model-axis dependence; ctc/loss.py _ambient_batch_mesh).
+        No-op for scan impls on a plain DP mesh / no mesh."""
         import contextlib
 
-        if direction_tp:
+        needs_ambient = direction_tp or (
+            mesh is not None and train_cfg.ctc_impl == "pallas"
+            and "model" in mesh.axis_names)
+        if needs_ambient:
             from jax.sharding import set_mesh
 
             return set_mesh(mesh)
