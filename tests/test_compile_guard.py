@@ -156,3 +156,86 @@ def test_eval_cli_survives_hung_kernel_compile(tmp_path, capsys,
     assert time.monotonic() - t0 < 60
     out = capsys.readouterr().out
     assert "Test Summary" in out
+
+
+def test_compile_error_blocklists_and_maps():
+    """A first dispatch that dies with a COMPILE failure (e.g. the
+    scoped-VMEM stack OOM hit live at B=128, bench_runs/r5/04) is
+    treated like a hang: blocklist + BeamCompileError. Non-compile
+    errors pass through untouched (and never blocklist)."""
+    def oom():
+        raise RuntimeError(
+            "INTERNAL: ... Scoped allocation with size 118.98M and "
+            "limit 102.69M exceeded scoped vmem limit by 16.29M")
+
+    with pytest.raises(compile_guard.BeamCompileError):
+        compile_guard.run_guarded(oom, "sig-oom", timeout=10.0)
+    assert compile_guard.blocklisted("sig-oom")
+    # also in the guard-disabled (no deadline thread) path
+    with pytest.raises(compile_guard.BeamCompileError):
+        compile_guard.run_guarded(oom, "sig-oom2", timeout=None)
+    assert compile_guard.blocklisted("sig-oom2")
+
+
+def test_wide_gate_is_batch_aware(monkeypatch):
+    """kernel_fits_batch: wide tables that fit at B=32 must be ruled
+    OUT at B=128 once tables + B*W*stack exceed the VMEM budget, and
+    _run must then build the XLA path (loud notice) instead of the
+    kernel."""
+    from tpuasr.decode.lm import train_ngram
+
+    monkeypatch.setattr(DeviceBeamDecoder, "MAX_KERNEL_WORD_CAP", 2)
+    # calibrate the budget so this tiny LM's wide tables "fit" only
+    # with a small batch-stack term
+    lm = train_ngram(["AB C AB", "C AB", "AB AB C"], order=2)
+    dec = DeviceBeamDecoder(ABC, beam_width=10, word_lm=lm, alpha=0.5,
+                            beta=0.3, impl="pallas")
+    from tpuasr.decode.beam import wide_tables_bytes
+
+    tbytes = wide_tables_bytes(dec._word_tables)
+    monkeypatch.setattr(DeviceBeamDecoder, "WIDE_VMEM_BUDGET",
+                        tbytes + 64 * 10 * dec.WIDE_STACK_PER_BW)
+    assert dec.kernel_fits_batch(ABC.size, 32)
+    assert dec.kernel_fits_batch(ABC.size, 64)
+    assert not dec.kernel_fits_batch(ABC.size, 128)
+
+    import tpuasr.ops.beam as beam_ops
+
+    beam_ops.INTERPRET = True
+    try:
+        rng = np.random.RandomState(3)
+        logits = jnp.asarray(rng.randn(128, 6, 5).astype(np.float32))
+        lengths = jnp.asarray(np.full((128,), 6, np.int32))
+        texts = dec.decode(logits, lengths)
+        assert all(not is_pallas for _, is_pallas in dec._cache.values())
+        ref = DeviceBeamDecoder(ABC, beam_width=10, word_lm=lm,
+                                alpha=0.5, beta=0.3,
+                                impl="xla").decode(logits, lengths)
+        assert texts == ref
+    finally:
+        beam_ops.INTERPRET = False
+
+
+def test_resident_eval_gate_is_batch_aware(monkeypatch):
+    """supports_resident_eval must refuse the resident runner when the
+    decoder's wide tables cannot fit the kernel at the eval batch."""
+    from tpuasr.decode.lm import train_ngram
+    from tpuasr.decode.resident_eval import supports_resident_eval
+
+    monkeypatch.setattr(DeviceBeamDecoder, "MAX_KERNEL_WORD_CAP", 2)
+    lm = train_ngram(["AB C AB", "C AB"], order=2)
+    import tpuasr.ops.beam as beam_ops
+
+    beam_ops.INTERPRET = True
+    try:
+        dec = DeviceBeamDecoder(ABC, beam_width=6, word_lm=lm,
+                                alpha=0.5, beta=0.3, impl="pallas")
+        from tpuasr.decode.beam import wide_tables_bytes
+
+        tbytes = wide_tables_bytes(dec._word_tables)
+        monkeypatch.setattr(DeviceBeamDecoder, "WIDE_VMEM_BUDGET",
+                            tbytes + 48 * 6 * dec.WIDE_STACK_PER_BW)
+        assert supports_resident_eval(dec, ABC.size, batch_size=32)
+        assert not supports_resident_eval(dec, ABC.size, batch_size=128)
+    finally:
+        beam_ops.INTERPRET = False

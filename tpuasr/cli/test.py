@@ -116,7 +116,7 @@ def main(argv=None) -> int:
     )
 
     if args.device_resident_audio and supports_resident_eval(
-        decoder, model_cfg.n_classes
+        decoder, model_cfg.n_classes, batch_size=args.batch_size
     ):
         evaluator = ResidentEvaluator(model_cfg, pkg.frontend_config, decoder)
 
@@ -125,14 +125,14 @@ def main(argv=None) -> int:
                 emit_result(hyp, ref)
 
     if resident_epoch is not None:
-        from tpuasr.decode.compile_guard import BeamCompileTimeout
+        from tpuasr.decode.compile_guard import BeamCompileFallback
 
         try:
             for rep in range(max(args.timing_repeats, 1)):
                 meter = ErrorRateMeter()
                 t_eval0 = _time.time()
                 resident_epoch()
-        except BeamCompileTimeout as e:
+        except BeamCompileFallback as e:
             # a pathological fused-kernel compile must not wedge the
             # eval: the config is now blocklisted (decode/compile_guard)
             # and the per-batch loop below decodes it via the XLA path

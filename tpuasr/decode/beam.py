@@ -770,6 +770,14 @@ class DeviceBeamDecoder:
     # time loop to bound Mosaic stack (ops/beam.py time_unroll).
     MAX_KERNEL_WORD_CAP = 8192
     MAX_WIDE_BYTES = 64 * 1024 * 1024
+    # Measured on-chip (bench_runs/r5/04): at B=128/W=10 the ROLLED
+    # wide body's probe temporaries demand ~56 MiB of scoped-VMEM
+    # stack NEXT TO 63 MiB of tables (118.98M vs the 102.69M budget) —
+    # ~44 KiB per batch-x-beam row (the (W*B, 14*256) f32 fetch pair
+    # dominates). The batch-aware gate below budgets 48 KiB/row with
+    # the total capped under the kernel's 100 MiB VMEM limit.
+    WIDE_STACK_PER_BW = 48 * 1024
+    WIDE_VMEM_BUDGET = 96 * 1024 * 1024
 
     def _kernel_lm_ineligible(self) -> str | None:
         """Why the fused kernel cannot fuse this decoder's LM (None =
@@ -863,6 +871,22 @@ class DeviceBeamDecoder:
             )
         return {}
 
+    def kernel_fits_batch(self, n_class: int, b: int) -> bool:
+        """Batch-aware refinement of the static wide-table gate: the
+        block-fetch probe's scratch scales with B*W, so a table set
+        that fits at B=32 can blow the scoped-VMEM budget at B=128
+        (seen live: wide3's 63 MiB tables OOMed by 16.3 MiB at B=128,
+        bench_runs/r5/04). False => decode via the XLA path at this
+        batch size (smaller batches may still fuse)."""
+        if self._word_tables is None:
+            return True
+        caps = [int(k.shape[0]) for k in self._word_tables.keys1]
+        if all(c <= self.MAX_KERNEL_WORD_CAP for c in caps):
+            return True  # small full-compare path: no block-fetch stack
+        stack = b * self.cfg.beam_width * self.WIDE_STACK_PER_BW
+        return (wide_tables_bytes(self._word_tables) + stack
+                <= self.WIDE_VMEM_BUDGET)
+
     def kernel_sig(self, n_class: int, b: int) -> str:
         """Compile-bomb family signature for the compile watchdog
         (decode/compile_guard.py): the Mosaic body's size/risk is set
@@ -935,7 +959,16 @@ class DeviceBeamDecoder:
         if key not in self._cache:
             from tpuasr.decode import compile_guard
 
-            if self._use_pallas() and not compile_guard.blocklisted(sig):
+            want_pallas = self._use_pallas()
+            if want_pallas and not self.kernel_fits_batch(n_class, b_pad):
+                import sys
+
+                print(f"tpuasr: wide word-LM tables + B={b_pad} probe "
+                      f"stack exceed the kernel VMEM budget — decoding "
+                      f"via the XLA path at this batch size",
+                      file=sys.stderr, flush=True)
+                want_pallas = False
+            if want_pallas and not compile_guard.blocklisted(sig):
                 self._cache[key] = (self._build_kernel(n_class), True)
             else:
                 self._cache[key] = (make_beam_search(
@@ -954,7 +987,7 @@ class DeviceBeamDecoder:
                 out = compile_guard.run_guarded(
                     lambda: jax.block_until_ready(
                         fn(logprobs, jnp.asarray(lengths))), sig)
-            except compile_guard.BeamCompileTimeout as e:
+            except compile_guard.BeamCompileFallback as e:
                 import sys
 
                 print(f"tpuasr: WARNING: {e}", file=sys.stderr,

@@ -42,7 +42,13 @@ _blocklist: set[str] = set()
 _loaded_from: str | None = None
 
 
-class BeamCompileTimeout(RuntimeError):
+class BeamCompileFallback(RuntimeError):
+    """Base: the fused-beam kernel cannot be used for this config (it
+    hung or failed to compile); the config is blocklisted and callers
+    should decode via the XLA path."""
+
+
+class BeamCompileTimeout(BeamCompileFallback):
     """A fused-beam config's first compile exceeded the watchdog
     deadline; the config is now blocklisted and callers should decode
     via the XLA path."""
@@ -55,6 +61,39 @@ class BeamCompileTimeout(RuntimeError):
             f"the config to retry the kernel)")
         self.sig = sig
         self.timeout = timeout
+
+
+class BeamCompileError(BeamCompileFallback):
+    """A fused-beam config's compile FAILED outright (e.g. scoped-VMEM
+    stack OOM — hit live on-chip with 63 MiB wide tables at B=128,
+    bench_runs/r5/04: 119.0M demanded vs the 102.7M budget). Same
+    treatment as a hang: blocklist + XLA fallback."""
+
+    def __init__(self, sig: str, cause: BaseException):
+        super().__init__(
+            f"fused beam kernel compile failed for config [{sig}]: "
+            f"{cause}; config blocklisted — decoding falls back to the "
+            f"XLA path")
+        self.sig = sig
+        self.__cause__ = cause
+
+
+# Substrings that identify a COMPILE failure (vs a genuine runtime
+# error the caller must see): Mosaic/XLA kernel compilation and the
+# remote compile service's transport errors.
+_COMPILE_ERROR_MARKERS = (
+    "Ran out of memory in memory space vmem",
+    "scoped vmem limit",
+    "remote_compile",
+    "Mosaic",
+    "tpu_compile_helper",
+    "XLA compilation",
+)
+
+
+def is_compile_error(e: BaseException) -> bool:
+    msg = str(e)
+    return any(m in msg for m in _COMPILE_ERROR_MARKERS)
 
 
 def timeout_seconds() -> float | None:
@@ -126,12 +165,20 @@ def blocklist(sig: str) -> None:
 def run_guarded(fn, sig: str, timeout: float | None = None):
     """Run ``fn()`` (a first-time kernel dispatch) under the watchdog.
     Returns fn's result; raises ``BeamCompileTimeout`` after
-    blocklisting ``sig`` if the deadline passes; re-raises fn's own
-    exception otherwise. timeout None = call directly, no thread."""
+    blocklisting ``sig`` if the deadline passes, ``BeamCompileError``
+    (also blocklisting) if fn dies with a COMPILE failure; re-raises
+    fn's own exception otherwise. timeout None = call directly with
+    no deadline thread (compile-error mapping still applies)."""
     if timeout is None:
         timeout = timeout_seconds()
     if timeout is None:
-        return fn()
+        try:
+            return fn()
+        except Exception as e:
+            if is_compile_error(e):
+                blocklist(sig)
+                raise BeamCompileError(sig, e) from e
+            raise
     box: dict = {}
     done = threading.Event()
 
@@ -150,5 +197,9 @@ def run_guarded(fn, sig: str, timeout: float | None = None):
         blocklist(sig)
         raise BeamCompileTimeout(sig, timeout)
     if "error" in box:
-        raise box["error"]
+        e = box["error"]
+        if is_compile_error(e):
+            blocklist(sig)
+            raise BeamCompileError(sig, e) from e
+        raise e
     return box["result"]

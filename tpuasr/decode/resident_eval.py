@@ -21,8 +21,13 @@ from tpuasr.audio.frontend import FrontendConfig
 from tpuasr.model.ds2 import ModelConfig
 
 
-def supports_resident_eval(decoder, n_classes: int) -> bool:
-    """Can ``ResidentEvaluator`` drive this decoder?"""
+def supports_resident_eval(decoder, n_classes: int,
+                           batch_size: int | None = None) -> bool:
+    """Can ``ResidentEvaluator`` drive this decoder? Pass the eval
+    ``batch_size`` when known: wide word-LM tables that fit the kernel
+    at small batches can blow the scoped-VMEM budget at large ones
+    (DeviceBeamDecoder.kernel_fits_batch; seen live at B=128,
+    bench_runs/r5/04) — such configs eval via the per-batch XLA loop."""
     from tpuasr.decode.beam import DeviceBeamDecoder, _packable
     from tpuasr.decode.greedy import GreedyDecoder
 
@@ -30,7 +35,9 @@ def supports_resident_eval(decoder, n_classes: int) -> bool:
         return True
     if isinstance(decoder, DeviceBeamDecoder):
         return (decoder.kernel_eligible()
-                and _packable(decoder.cfg.beam_width, n_classes))
+                and _packable(decoder.cfg.beam_width, n_classes)
+                and (batch_size is None
+                     or decoder.kernel_fits_batch(n_classes, batch_size)))
     return False
 
 
