@@ -139,13 +139,26 @@ class DeviceBeamStreams:
         """One batched tick: ``logits`` (S, T, C) raw logits (device
         array from the streaming step — stays on device), ``lo``/
         ``lens`` (S,) int32 per-slot valid windows [lo, lo+len).
-        Slots with len 0 are frozen."""
+        Slots with len 0 are frozen.
+
+        NOTE: serving callers should prefer fusing ``self._advance``
+        into the SAME jit as the acoustic step (one dispatch per tick —
+        MultiStreamTranscriber does this; a separate dispatch measured
+        +70 ms/tick through a tunneled host, bench_runs/r5/08) and then
+        call ``fold`` with the fetched outputs."""
         parents, chars, scores, self.state = self._advance(
             jnp.asarray(logits), jnp.asarray(lo, jnp.int32),
             jnp.asarray(lens, jnp.int32), self.state)
-        parents = np.asarray(parents)  # (S, T, W) int8
+        self.fold(*jax.device_get((parents, chars, scores)), lens)
+
+    def fold(self, parents: np.ndarray, chars: np.ndarray,
+             scores: np.ndarray, lens: np.ndarray) -> None:
+        """Host half of a tick: compose the fetched backpointers into
+        per-slot suffixes + commits. ``parents``/``chars`` (S, T, W),
+        ``scores`` (S, W), ``lens`` (S,)."""
+        parents = np.asarray(parents)
         chars = np.asarray(chars)
-        self._scores_all = np.asarray(scores)  # (S, W)
+        self._scores_all = np.asarray(scores)
         for i in range(self.s):
             n = int(lens[i])
             if n <= 0:

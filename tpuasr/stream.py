@@ -838,9 +838,25 @@ class MultiStreamTranscriber:
                     impl="pallas" if beam_impl == "device" else "auto")
                 self._dev_engine = DeviceBeamStreams(
                     dec, max_streams, alphabet.size, self._delta)
+                # ONE dispatch per tick: the beam advance rides in the
+                # SAME jit as the acoustic step (a separate dispatch
+                # measured +70 ms/tick through a tunneled host —
+                # bench_runs/r5/08 vs the fused re-run)
+                _step, _adv = self._step, self._dev_engine._advance
+
+                @jax.jit
+                def step_beam(variables, carry, windows, k, t_f, t1,
+                              active, lo, lens, bstate):
+                    logits, carry1 = _step(variables, carry, windows,
+                                           k, t_f, t1, active)
+                    p, c, s, b1 = _adv(logits, lo, lens, bstate)
+                    return carry1, p, c, s, b1
+
+                self._step_beam = step_beam
             except Exception:
                 if beam_impl == "device":
                     raise
+                self._dev_engine = None
         self._mk_native = None if self._dev_engine else \
             _native_session_factory(
                 decoder, "auto" if beam_impl == "device" else beam_impl,
@@ -947,15 +963,11 @@ class MultiStreamTranscriber:
             active[i] = True
             if s.draining:
                 t_f[i], t1[i] = s.t_f, s.t1
-        logits, self._carry = self._step(
-            self.variables, self._carry, jnp.asarray(windows),
-            jnp.asarray(k), jnp.asarray(t_f), jnp.asarray(t1),
-            jnp.asarray(active),
-        )
         dev = self._dev_engine if self.decoder == "beam" else None
         if dev is not None:
-            # ONE batched device call advances every ready slot's beam
-            # (logits stay on device — no host round-trip of the rows)
+            # device beam: the per-slot beam advance rides in the SAME
+            # dispatch as the acoustic step (logits never leave the
+            # device; one tunnel round-trip per tick)
             lo_v = np.zeros((S,), np.int32)
             len_v = np.zeros((S,), np.int32)
             bounds = {}
@@ -968,7 +980,14 @@ class MultiStreamTranscriber:
                 hi = min(self._delta, cap - base_w)
                 lo_v[i], len_v[i] = lo, max(hi - lo, 0)
                 bounds[i] = (base_w, hi)
-            dev.advance(logits, lo_v, len_v)
+            self._carry, parents, chars, scores, dev.state = \
+                self._step_beam(
+                    self.variables, self._carry, jnp.asarray(windows),
+                    jnp.asarray(k), jnp.asarray(t_f), jnp.asarray(t1),
+                    jnp.asarray(active), jnp.asarray(lo_v),
+                    jnp.asarray(len_v), dev.state,
+                )
+            dev.fold(*jax.device_get((parents, chars, scores)), len_v)
             for i in ready:
                 s = self._slots[i]
                 s.pending = s.pending[s_chunk:]
@@ -985,6 +1004,11 @@ class MultiStreamTranscriber:
                         s.fresh.append(frag)
                     s.emitted = base_w + hi
             return True
+        logits, self._carry = self._step(
+            self.variables, self._carry, jnp.asarray(windows),
+            jnp.asarray(k), jnp.asarray(t_f), jnp.asarray(t1),
+            jnp.asarray(active),
+        )
         rows_all = np.asarray(logits)
         for i in ready:
             s = self._slots[i]
