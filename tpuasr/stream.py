@@ -980,14 +980,18 @@ class MultiStreamTranscriber:
                 hi = min(self._delta, cap - base_w)
                 lo_v[i], len_v[i] = lo, max(hi - lo, 0)
                 bounds[i] = (base_w, hi)
-            self._carry, parents, chars, scores, dev.state = \
-                self._step_beam(
-                    self.variables, self._carry, jnp.asarray(windows),
-                    jnp.asarray(k), jnp.asarray(t_f), jnp.asarray(t1),
-                    jnp.asarray(active), jnp.asarray(lo_v),
-                    jnp.asarray(len_v), dev.state,
-                )
-            dev.fold(*jax.device_get((parents, chars, scores)), len_v)
+            out = self._step_beam(
+                self.variables, self._carry, jnp.asarray(windows),
+                jnp.asarray(k), jnp.asarray(t_f), jnp.asarray(t1),
+                jnp.asarray(active), jnp.asarray(lo_v),
+                jnp.asarray(len_v), dev.state,
+            )
+            # fetch BEFORE mutating carry/beam state: a transient
+            # transfer failure then leaves the tick fully retryable
+            # (same no-mutation-before-success rule as the slots below)
+            fetched = jax.device_get(out[1:4])
+            self._carry, dev.state = out[0], out[4]
+            dev.fold(*fetched, len_v)
             for i in ready:
                 s = self._slots[i]
                 s.pending = s.pending[s_chunk:]
