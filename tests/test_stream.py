@@ -548,3 +548,39 @@ def test_multistream_beam_device_matches_sessions(with_lm):
     assert host_texts == singles  # precondition, not the new claim
     for j in range(2):
         np.testing.assert_array_equal(dev_offs[j], host_offs[j])
+
+
+@pytest.mark.parametrize("with_lm", [False, True])
+def test_single_stream_beam_device_matches_host(with_lm):
+    """StreamingTranscriber beam_impl="device": the lone-stream device
+    beam (engine batch padded to a full sublane tile) must produce the
+    host-session engine's final text and offsets."""
+    import tpuasr.ops.beam as beam_ops
+    from tpuasr.decode.lm import train_ngram
+
+    cfg, fe, model, variables = _setup("gru", 4, seed=33)
+    rng = np.random.RandomState(59)
+    wave = (rng.randn(14000) * 0.15).astype(np.float32)
+    lm = train_ngram(["AB A B", "B AB", "A AB B"], order=2) if with_lm \
+        else None
+    kw = dict(decoder="beam", lm=lm, alpha=0.5, beta=0.3, beam_width=6)
+
+    def run(beam_impl, interpret):
+        beam_ops.INTERPRET = interpret
+        try:
+            st = StreamingTranscriber(variables, cfg, fe, ABC,
+                                      chunk_frames=16,
+                                      beam_impl=beam_impl, **kw)
+            if beam_impl == "device":
+                assert st._dev_engine is not None
+            for i in range(0, len(wave), 901):
+                st.feed(wave[i:i + 901])
+            st.flush()
+            return st.text, st.offsets
+        finally:
+            beam_ops.INTERPRET = False
+
+    dev_text, dev_offs = run("device", True)
+    host_text, host_offs = run("host", False)
+    assert dev_text == host_text
+    np.testing.assert_array_equal(dev_offs, host_offs)

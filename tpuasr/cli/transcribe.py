@@ -49,10 +49,12 @@ def main(argv=None) -> int:
     p.add_argument("--chunk-frames", type=int, default=32,
                    help="streaming: feature frames per step (x10 ms)")
     p.add_argument("--beam-impl", default="auto",
-                   choices=["auto", "host", "native"],
-                   help="streaming beam engine: stateful C++ session "
-                   "(native), Python beam_step (host), or native with "
-                   "host fallback (auto)")
+                   choices=["auto", "host", "native", "device"],
+                   help="streaming beam engine: fused on-device kernel "
+                   "carrying beam state across chunks (device), "
+                   "stateful C++ session (native), Python beam_step "
+                   "(host), or the first whose preconditions hold "
+                   "(auto: device, then native, then host)")
     p.add_argument("--stream-norm-stats", default=None, metavar="MANIFEST",
                    help="streaming + normalize=True checkpoints: prime "
                    "the causal normalization with corpus statistics "

@@ -91,7 +91,11 @@ class DeviceBeamStreams:
             ring = 0
         else:
             lm_mode, ring = "none", 0
-        self._state0 = make_beam_state(max_streams, self.w,
+        # internal batch pads to a full sublane tile: a lone stream
+        # (B=1) would hand Mosaic sub-8-row scratch; padded slots carry
+        # frozen init state forever (lens 0) at negligible cost
+        self._bpad = max(max_streams, 8)
+        self._state0 = make_beam_state(self._bpad, self.w,
                                        lm_mode=lm_mode, ring_len=ring)
         self.state = self._state0
         cfg = decoder.cfg
@@ -99,6 +103,7 @@ class DeviceBeamStreams:
             beam_scan_pallas, beam_width=self.w, blank_id=cfg.blank_id,
             cutoff_top_n=cfg.cutoff_top_n, cutoff_prob=cfg.cutoff_prob,
             prune_logp=cfg.prune_logp, return_state=True, **lm_kw)
+        bpad = self._bpad
 
         @jax.jit
         def _advance(logits, lo, lens, state):
@@ -106,7 +111,12 @@ class DeviceBeamStreams:
             # a per-slot one-hot time matmul (no per-element gathers on
             # TPU) and log-softmax the classes; frames past len are
             # frozen by the kernel's alive mask
-            t_n = logits.shape[1]
+            s_in, t_n = logits.shape[0], logits.shape[1]
+            if s_in < bpad:
+                logits = jnp.pad(logits, ((0, bpad - s_in), (0, 0),
+                                          (0, 0)))
+                lo = jnp.pad(lo, (0, bpad - s_in))
+                lens = jnp.pad(lens, (0, bpad - s_in))
             t_out = jnp.arange(t_n)[:, None]
             t_in = jnp.arange(t_n)[None, :]
             sel = (t_in == t_out + lo[:, None, None]).astype(logits.dtype)
@@ -128,7 +138,7 @@ class DeviceBeamStreams:
 
     def reset_slot(self, i: int) -> None:
         """Fresh beam state for slot ``i`` (a newly opened stream)."""
-        keep = np.ones((self.s,), bool)
+        keep = np.ones((self._bpad,), bool)
         keep[i] = False
         self.state = self._reset_rows(self.state, jnp.asarray(keep))
         self._slots[i] = _SlotDecode(self.w)

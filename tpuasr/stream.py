@@ -525,8 +525,10 @@ class StreamingTranscriber:
         case a later observation overturns the committed prefix,
         ``flush`` returns the corrected full text and ``.text`` is
         always the authoritative transcript. ``beam_impl``: "native"
-        (stateful C++ session) / "host" (Python beam_step) / "auto"
-        (native with host fallback). ``prime_stats`` = (mean, var,
+        (stateful C++ session) / "host" (Python beam_step) / "device"
+        (the fused Pallas kernel carrying the beam state across chunks
+        on device, fused into the acoustic step's dispatch) / "auto"
+        (device, then native, then host). ``prime_stats`` = (mean, var,
         weight_frames) seeds the causal normalization with corpus
         statistics (see _init_carry; audio.frontend.corpus_feature_stats
         computes them)."""
@@ -544,15 +546,45 @@ class StreamingTranscriber:
                              beta=beta, cutoff_top_n=cutoff_top_n,
                              cutoff_prob=cutoff_prob,
                              prune_logp=prune_logp)
-        if beam_impl not in ("auto", "host", "native"):
-            raise ValueError(f"beam_impl must be auto|host|native, "
+        if beam_impl not in ("auto", "host", "native", "device"):
+            raise ValueError(f"beam_impl must be auto|host|native|device, "
                              f"got {beam_impl!r}")
-        self._mk_native = _native_session_factory(
-            decoder, beam_impl, alphabet, self._beam_kw)
         self.prime_stats = prime_stats
         self._step, self._delta, self._d1, self._d2 = _build_step(
             model_cfg, frontend_cfg, chunk_frames
         )
+        self._dev_engine = None
+        if decoder == "beam" and beam_impl in ("auto", "device"):
+            try:
+                from tpuasr.decode.beam import DeviceBeamDecoder
+                from tpuasr.decode.device_stream import DeviceBeamStreams
+
+                dec = DeviceBeamDecoder(
+                    alphabet, beam_width=beam_width, word_lm=lm,
+                    alpha=alpha, beta=beta, cutoff_top_n=cutoff_top_n,
+                    cutoff_prob=cutoff_prob, prune_logp=prune_logp,
+                    impl="pallas" if beam_impl == "device" else "auto")
+                self._dev_engine = DeviceBeamStreams(
+                    dec, 1, alphabet.size, self._delta)
+                _step, _adv = self._step, self._dev_engine._advance
+
+                @jax.jit
+                def step_beam(variables, carry, window, k, t_f, t1,
+                              lo, lens, bstate):
+                    logits, carry1 = _step(variables, carry, window,
+                                           k, t_f, t1)
+                    p, c, s, b1 = _adv(logits, lo, lens, bstate)
+                    return carry1, logits, p, c, s, b1
+
+                self._step_beam = step_beam
+            except Exception:
+                if beam_impl == "device":
+                    raise
+                self._dev_engine = None
+        self._mk_native = None if self._dev_engine is not None else \
+            _native_session_factory(
+                decoder, "auto" if beam_impl == "device" else beam_impl,
+                alphabet, self._beam_kw)
         self.reset()
 
     # ---- state management -------------------------------------------------
@@ -573,7 +605,10 @@ class StreamingTranscriber:
         if getattr(self, "decoder", "greedy") == "beam":
             self._committed: tuple = ()
             self._beams = None
-            if getattr(self, "_native", None) is not None:
+            if self._dev_engine is not None:
+                self._native = None
+                self._dev_engine.reset_slot(0)
+            elif getattr(self, "_native", None) is not None:
                 self._native.reset()  # reuse the C++ session
             elif self._mk_native is not None:
                 self._native = self._mk_native()
@@ -643,7 +678,12 @@ class StreamingTranscriber:
         extra = ""
         if self.decoder == "beam":
             committed = "".join(self._text_parts)  # includes drained
-            if self._native is not None:
+            if self._dev_engine is not None:
+                ids, frames, _ = self._dev_engine.finalize(0)
+                final = self.alphabet.decode([int(x) for x in ids])
+                extra = (final[len(committed):]
+                         if final.startswith(committed) else final)
+            elif self._native is not None:
                 ids, frames, _ = self._native.best_with_frames()
                 final = self.alphabet.decode([int(x) for x in ids])
                 extra = (final[len(committed):]
@@ -668,6 +708,7 @@ class StreamingTranscriber:
         s_chunk = self.chunk_frames * hop
         new_text: list[str] = []
         steps = 0
+        dev = self._dev_engine if self.decoder == "beam" else None
         while len(self._pending) >= s_chunk and steps < max_steps:
             take = self._pending[:s_chunk]
             self._pending = self._pending[s_chunk:]
@@ -675,6 +716,40 @@ class StreamingTranscriber:
                 self._lead = _first_lead(take, hop)
             window = np.concatenate([self._lead, take])
             self._lead = window[-hop:].copy()
+            if dev is not None:
+                # device beam: the beam advance rides in the SAME
+                # dispatch as the acoustic step (see the multi-stream
+                # tick; here with one live slot, engine batch padded)
+                base_w = self._k * self._delta - self._d1 - self._d2 \
+                    - max(self.cfg.lookahead_context - 1, 0)
+                lo = max(0, -base_w)
+                hi = min(self._delta, t1 - base_w)
+                lo_v = np.asarray([lo], np.int32)
+                len_v = np.asarray([max(hi - lo, 0)], np.int32)
+                out = self._step_beam(
+                    self.variables, self._carry,
+                    jnp.asarray(window[None, :]), jnp.int32(self._k),
+                    jnp.int32(t_f), jnp.int32(t1), jnp.asarray(lo_v),
+                    jnp.asarray(len_v), dev.state,
+                )
+                fetched = jax.device_get(out[2:5])
+                rows = np.asarray(out[1])[0] if self.collect_logits \
+                    else None
+                self._carry, dev.state = out[0], out[5]
+                dev.fold(*fetched, len_v)
+                self._k += 1
+                ids, frames = dev.take_committed(0)
+                if ids:
+                    frag0 = self.alphabet.decode(ids)
+                    self._committed = self._committed + tuple(ids)
+                    self._offsets.extend(int(f) for f in frames)
+                    new_text.append(frag0)
+                if hi > lo:
+                    self._emitted = base_w + hi
+                    if self.collect_logits:
+                        self._rows.append(rows[lo:hi])
+                steps += 1
+                continue
             logits, self._carry = self._step(
                 self.variables, self._carry, jnp.asarray(window[None, :]),
                 jnp.int32(self._k), jnp.int32(t_f), jnp.int32(t1),
