@@ -80,7 +80,8 @@ def test_dryrun_multichip_fresh_process():
     )
     proc = subprocess.run(
         [sys.executable, "-c", code],
-        capture_output=True, text=True, timeout=600, env=env, cwd="/root/repo",
+        capture_output=True, text=True, timeout=2100, env=env,
+        cwd="/root/repo",
     )
     assert proc.returncode == 0, (
         f"dryrun_multichip(8) failed in fresh process:\n"

@@ -93,6 +93,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sync-every", type=int, default=10,
                    help="materialize device metrics every N steps (1 = "
                    "reference-style per-iteration readout)")
+    p.add_argument("--eval-every", type=int, default=1,
+                   help="run validation every N epochs (the final "
+                   "epoch always evaluates); 1 = the reference's "
+                   "per-epoch eval")
     p.add_argument("--cuda", action="store_true",
                    help="accepted for compatibility (device = TPU/XLA)")
     # distributed (multi-host)
@@ -172,6 +176,7 @@ def main(argv=None) -> int:
         quiet=args.quiet,
         profile_dir=args.profile_dir,
         sync_every=args.sync_every,
+        eval_every=args.eval_every,
         mesh_tp=args.mesh_tp,
     )
 

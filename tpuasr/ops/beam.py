@@ -32,6 +32,13 @@ with the per-beam word state (rolling hash, completed-word ring,
 partial length) held as 2D VMEM planes. Large-vocabulary word LMs
 stay on the XLA hash-probe path.
 
+STATEFUL (streaming) mode: pass ``state=``/``return_state=True`` and
+the beam state rides in/out as kernel refs instead of scratch init —
+chunked calls are bit-identical to one batch call over the
+concatenation (the recursion has no lookahead), which is what the
+device-resident incremental serving beam builds on
+(decode/device_stream.py).
+
 Reference parity: ctcdecode C++ beam decoder (SURVEY.md §3.2,
 ref:decoder.py BeamCTCDecoder).
 """

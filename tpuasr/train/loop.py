@@ -64,6 +64,11 @@ class LoopConfig:
     # host between syncs — the loop sustains the bare-step rate. 1
     # reproduces the reference's per-iteration readout.
     sync_every: int = 10
+    # Validation cadence in epochs (1 = the reference's per-epoch
+    # eval). The FINAL epoch always evaluates, so wer_history[-1] is
+    # populated whenever a val loader is present; skipped epochs record
+    # NaN. Big corpora with many short epochs set this > 1.
+    eval_every: int = 1
 
 
 class _PreemptionExit(Exception):
@@ -492,7 +497,9 @@ def train(
 
             histories["loss"].append(loss_meter.avg)
             wer, cer = float("nan"), float("nan")
-            if val_loader is not None:
+            eval_this = (epoch + 1) % max(loop_cfg.eval_every, 1) == 0 \
+                or epoch + 1 == loop_cfg.epochs
+            if val_loader is not None and eval_this:
                 variables = {
                     "params": state.params,
                     "batch_stats": state.batch_stats,
